@@ -1,13 +1,176 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Relational
+import graft.text.TextOps
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (or a
+  * training-data-pipeline extension), expressed over the harness tables at
+  * `dir`; `oracleSql` holds the equivalent DuckDB SQL. Column names and
+  * result types match exactly on both sides (the driver hashes values after
+  * sorting columns by name).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_union_project"  -> ((s, d) => Relational.unionProject(s, d)),
+    "q02_regex_filter"   -> ((s, d) => Relational.regexFilter(s, d)),
+    "q03_classify"       -> ((s, d) => Relational.classify(s, d)),
+    "q04_coalesce_name"  -> ((s, d) => Relational.coalesceName(s, d)),
+    "q05_group_collect"  -> ((s, d) => Relational.groupCollect(s, d)),
+    "q06_invert_map"     -> ((s, d) => Relational.invertMap(s, d)),
+    "q07_having_distinct"-> ((s, d) => Relational.havingDistinct(s, d)),
+    "q08_window_dedup"   -> ((s, d) => Relational.windowDedup(s, d)),
+    "q09_semi_join"      -> ((s, d) => Relational.semiJoin(s, d)),
+    "q10_anti_join"      -> ((s, d) => Relational.antiJoin(s, d)),
+    "q11_quantified"     -> ((s, d) => Relational.quantified(s, d)),
+    "q12_broadcast_lookup" -> ((s, d) => Relational.broadcastLookup(s, d)),
+    "q13_closure"        -> ((s, d) => Relational.closure(s, d)),
+    "q14_stats_counts"   -> ((s, d) => Relational.statsCounts(s, d)),
+    "q15_cast_bucket"    -> ((s, d) => Relational.castBucket(s, d)),
+    "q16_topk_per_group" -> ((s, d) => Relational.topkPerGroup(s, d)),
+    "q17_tumbling_agg"   -> ((s, d) => Relational.tumblingAgg(s, d)),
+    "q18_union_except"   -> ((s, d) => Relational.unionExcept(s, d)),
+    "q19_token_count"    -> ((s, d) => TextOps.tokenCount(s, d)
+                               .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))),
+    "q20_exact_dedup"    -> ((s, d) => TextOps.exactDedup(s, d)),
+    "q21_quality_score"  -> ((s, d) => TextOps.qualityScore(s, d)
+                               .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+                                       col("mean_tok_len_x100"), col("stopword_bp"))),
+    "q22_lang_distribution" -> ((s, d) => TextOps.langDistribution(s, d)),
+    "q23_langid_hits"    -> ((s, d) => TextOps.langIdHeuristic(s, d)
+                               .select(col("doc_id"), col("lang_true"),
+                                       col("en_hits").cast("long").as("en_hits"),
+                                       col("de_hits").cast("long").as("de_hits"),
+                                       col("fr_hits").cast("long").as("fr_hits"))),
+    "q24_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_union_project" ->
+      """SELECT 'customer' AS kind, c_custkey AS key, c_name AS name FROM customer
+         UNION ALL SELECT 'supplier', s_suppkey, s_name FROM supplier
+         UNION ALL SELECT 'part', p_partkey, p_name FROM part""",
+    "q02_regex_filter" ->
+      """SELECT event_id, event_type FROM events
+         WHERE regexp_matches(event_type, '^(click|view)(|_link)$')""",
+    "q03_classify" ->
+      """SELECT p_partkey,
+                CASE WHEN p_size > 40 THEN 'building'
+                     WHEN p_type LIKE '%BRASS%' THEN 'street'
+                     WHEN p_size < 5 THEN 'outer_name'
+                     ELSE 'boundary' END AS class
+         FROM part""",
+    "q04_coalesce_name" ->
+      """SELECT p_partkey,
+                coalesce(CASE WHEN p_size < 10 THEN NULL ELSE p_brand END,
+                         concat_ws(' ', p_type, p_name)) AS display
+         FROM part""",
+    "q05_group_collect" ->
+      """SELECT o_custkey,
+                array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+                count(*) AS n_orders
+         FROM orders GROUP BY o_custkey""",
+    "q06_invert_map" ->
+      """SELECT n_regionkey,
+                array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
+         FROM nation GROUP BY n_regionkey""",
+    "q07_having_distinct" ->
+      """SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_distinct
+         FROM orders GROUP BY o_custkey HAVING count(DISTINCT o_orderpriority) > 1""",
+    "q08_window_dedup" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn = 1""",
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q11_quantified" ->
+      """SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         HAVING bool_and(l_quantity < 45)
+            AND bool_or(l_linenumber = 1 AND l_discount > 0.01)""",
+    "q12_broadcast_lookup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+                       JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+    "q13_closure" ->
+      """WITH RECURSIVE edges(child, parent) AS (
+           SELECT 'c' || CAST(c_custkey AS VARCHAR), 'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+           UNION ALL
+           SELECT 'n' || CAST(n_nationkey AS VARCHAR), 'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+         ), anc(child, ancestor) AS (
+           SELECT child, parent FROM edges
+           UNION
+           SELECT a.child, e.parent FROM anc a JOIN edges e ON a.ancestor = e.child
+         ) SELECT child, ancestor FROM anc""",
+    "q14_stats_counts" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "q15_cast_bucket" ->
+      """SELECT CAST(FLOOR(value / 100) AS INT) AS bucket, count(*) AS n
+         FROM events GROUP BY 1""",
+    "q16_topk_per_group" ->
+      """SELECT o_orderpriority, rk, o_orderkey FROM (
+           SELECT o_orderpriority, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) WHERE rk <= 3""",
+    "q17_tumbling_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+                CAST(sum(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1""",
+    "q18_union_except" ->
+      """SELECT o_custkey FROM (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+           UNION SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         EXCEPT SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "q19_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents""",
+    "q20_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+         FROM documents GROUP BY 1""",
+    "q21_quality_score" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                CAST(FLOOR(n_chars * 100 / len(string_split(text, ' '))) AS BIGINT) AS mean_tok_len_x100,
+                CAST(FLOOR(len(list_filter(string_split(text, ' '), x -> x = 'the')) * 10000
+                           / len(string_split(text, ' '))) AS BIGINT) AS stopword_bp
+         FROM documents""",
+    "q22_lang_distribution" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY lang""",
+    "q23_langid_hits" ->
+      """SELECT doc_id, lang AS lang_true,
+                CAST(len(list_filter(string_split(text, ' '),
+                     x -> x = 'the' OR x = 'a' OR x = 'of')) AS BIGINT) AS en_hits,
+                CAST(len(list_filter(string_split(text, ' '),
+                     x -> x = 'der' OR x = 'und' OR x = 'die')) AS BIGINT) AS de_hits,
+                CAST(len(list_filter(string_split(text, ' '),
+                     x -> x = 'le' OR x = 'la' OR x = 'et')) AS BIGINT) AS fr_hits
+         FROM documents""",
+    // q24_fingerprint: xxhash64-based rolling hash has no DuckDB equivalent —
+    // rows-only check (SURVEY.md §2.7 extension functions).
+  )
 }

