@@ -1,0 +1,213 @@
+package graft.hier
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The assembled place hierarchy as relational tables (the reference's
+  * bigraph, SURVEY.md §1.1 re-expressed):
+  *  - boundaries: one row per Boundary node
+  *  - streets:    one row per Street node (bkey, street)
+  *  - buildings:  one row per Building node (street null = directly under boundary)
+  *  - junctionAtoms: one row per Junction node (bkey, street, nd)
+  *  - junctionEdges: one hyperedge per (nd, closure boundary); `outer_name`
+  *    non-null ⇔ the edge stays open at the root (boundary-crossing node)
+  * Every table carries `chain`, the root-first display-name chain — the
+  * canonical structural identity used for golden parity.
+  */
+case class PlaceTables(
+    boundaries: DataFrame,
+    streets: DataFrame,
+    buildings: DataFrame,
+    junctionAtoms: DataFrame,
+    junctionEdges: DataFrame,
+    errors: DataFrame)
+
+case class PlaceStats(
+    nBoundaries: Long, nStreets: Long, nBuildings: Long, nJunctions: Long,
+    nNodes: Long, nEdges: Long, nOpenNames: Long)
+
+/** The reference's sequential builder (builder.ml:53-231 +
+  * hierarchy.ml:70-234) re-derived as a shuffle-minimal Dataset pipeline.
+  *
+  * The mutable `id_seen` traversal set becomes two window ranks over the
+  * DFS post-order index (J3/J4 in SURVEY.md §2.3):
+  *  - buildings: first post-order boundary containing the element claims it;
+  *  - street ways: a way appears in successive post-order boundaries while
+  *    every earlier appearance crossed that boundary's border (touched one
+  *    of its outer-name nodes), and sticks at the first non-crossing one —
+  *    hierarchy.ml:196-199,214-218's claim/unclaim as a running conjunction.
+  */
+object PlacePipeline {
+
+  private def tag(k: String): Column = col("tags").getItem(k)
+
+  def build(spark: SparkSession, elems: Dataset[BoundaryElem],
+            metas: Seq[BoundaryMeta]): PlaceTables = {
+    import spark.implicits._
+
+    // Small dimension: one row per boundary. Broadcast into every join.
+    val metaDf = broadcast(
+      metas.map(m => (m.bkey, m.level, m.name, m.parentKey, m.postIdx, m.path, m.nameChain))
+        .toDF("bkey", "level", "bname_", "parent_bkey", "post_idx", "path", "chain"))
+
+    // ── P6/P7 classification dispatch (hierarchy.ml:107-176) ──
+    val classified = elems.toDF()
+      .withColumn("cls",
+        when(tag("building").isNotNull,
+          when(tag("addr:street").isNotNull, lit("bldg_street"))
+            .otherwise(lit("bldg_plain")))
+          .when(tag("admin_level").isNotNull, lit("admin"))
+          .when(col("kind") === "node", lit("outer"))
+          .when(tag("highway").isNotNull, lit("highway"))
+          .otherwise(lit("error")))
+      .withColumn("elem_key", concat(col("kind"), lit(" "), col("id")))
+
+    // the reference raises TagNotFound on unnameable elements; we surface
+    // them as an error table instead of failing the job (SURVEY.md §2.2 P7)
+    val errors = classified.filter(
+      col("cls") === "error" ||
+        (col("cls") === "bldg_street" && tag("name").isNull && tag("addr:housenumber").isNull) ||
+        (col("cls") === "bldg_plain" && tag("name").isNull))
+
+    val withMeta = classified.join(metaDf, "bkey")
+
+    // ── outer names: every bare node in the extract (hierarchy.ml:151-156) ──
+    val outerNodes = withMeta.filter(col("cls") === "outer")
+      .select(col("bkey"), col("id").as("nd")).distinct()
+
+    // ── buildings: deepest-first claim = post-order rank 1 (J3) ──
+    val wClaim = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
+    val buildingsClaimed = withMeta
+      .filter(col("cls").isin("bldg_street", "bldg_plain"))
+      .withColumn("rn", row_number().over(wClaim))
+      .filter(col("rn") === 1)
+      .withColumn("street",
+        when(col("cls") === "bldg_street", tag("addr:street")).otherwise(lit(null)))
+      .withColumn("bname",
+        when(col("cls") === "bldg_street",
+          coalesce(tag("name"), concat(tag("addr:housenumber"), lit(" "), tag("addr:street"))))
+          .otherwise(tag("name")))
+      .filter(col("bname").isNotNull)
+      .select("bkey", "elem_key", "street", "bname", "chain", "post_idx")
+
+    // ── street candidates: highway ways and relations (hierarchy.ml:158-176) ──
+    // F3 display name: name | ref | typed id string
+    val streetCandidates = withMeta.filter(col("cls") === "highway")
+      .withColumn("street", coalesce(tag("name"), tag("ref"), col("elem_key")))
+
+    val wayCandidates = streetCandidates.filter(col("kind") === "way")
+
+    // crossing(way, boundary): some member node is one of this boundary's
+    // outer-name nodes (hierarchy.ml:214-218)
+    val crossing = wayCandidates
+      .select(col("bkey"), col("elem_key"), explode(col("nds")).as("nd"))
+      .join(outerNodes, Seq("bkey", "nd"), "left_semi")
+      .select("bkey", "elem_key").distinct()
+      .withColumn("crossing", lit(true))
+
+    // inclusion: AND of `crossing` over all earlier post-order appearances
+    val wPrev = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val waysIncluded = wayCandidates
+      .join(crossing, Seq("bkey", "elem_key"), "left")
+      .withColumn("crossing", coalesce(col("crossing"), lit(false)))
+      .withColumn("included", coalesce(min(col("crossing")).over(wPrev), lit(true)))
+      .filter(col("included"))
+
+    // highway relations never enter id_seen (junctions_of_streets iterates
+    // ways only) → they appear in every extract that lists them
+    val relsIncluded = streetCandidates.filter(col("kind") === "relation")
+
+    val includedStreetElems = waysIncluded
+      .select("bkey", "elem_key", "street", "nds", "chain")
+      .unionByName(relsIncluded.select("bkey", "elem_key", "street", "nds", "chain"))
+
+    // ── junctions (A4/A5, hierarchy.ml:188-234): per boundary, a node is a
+    // junction iff ≥2 distinct street names meet there or it is an
+    // outer-name node; one Junction atom per (boundary, street, node) ──
+    val wayNodes = waysIncluded
+      .select(col("bkey"), col("street"), col("chain"), explode(col("nds")).as("nd"))
+      .distinct()
+    val nodeQualifies = wayNodes
+      .groupBy(col("bkey"), col("nd"))
+      .agg(countDistinct(col("street")).as("n_streets"))
+      .join(outerNodes.withColumn("is_outer", lit(true)), Seq("bkey", "nd"), "left")
+      .filter(col("n_streets") > 1 || col("is_outer"))
+      .select("bkey", "nd")
+    val junctionAtoms = wayNodes
+      .join(nodeQualifies, Seq("bkey", "nd"), "left_semi")
+      .select(col("bkey"), col("street"), col("nd"),
+        concat(col("chain"), lit(">"), col("street")).as("street_chain"))
+
+    // ── street groups (A1/A2): street names from included highway elements
+    // ∪ claimed buildings' addr:street (hierarchy.ml:128-135,169-176) ──
+    val streetsFromWays = includedStreetElems.select("bkey", "street", "chain")
+    val streetsFromBldgs = buildingsClaimed.filter(col("street").isNotNull)
+      .select("bkey", "street", "chain")
+    val streets = streetsFromWays.unionByName(streetsFromBldgs)
+      .distinct()
+      .withColumn("street_chain", concat(col("chain"), lit(">"), col("street")))
+
+    // ── building entities: deduped by display name per parent (Set semantics) ──
+    val buildings = buildingsClaimed
+      .select(col("bkey"), col("street"), col("bname"), col("chain"))
+      .distinct()
+      .withColumn("parent_chain",
+        when(col("street").isNotNull, concat(col("chain"), lit(">"), col("street")))
+          .otherwise(col("chain")))
+      .withColumn("bchain", concat(col("parent_chain"), lit(">"), col("bname")))
+
+    // ── boundary entities ──
+    val boundaries = metaDf.select(
+      col("bkey"), col("bname_").as("name"), col("parent_bkey"),
+      col("chain"), col("level"), col("post_idx"))
+
+    // ── junction hyperedges: merge atoms per (node, closure boundary) —
+    // closure = first self-or-ancestor whose outer-name set misses the node
+    // (builder.ml:216-226's per-boundary close, SURVEY.md §1.1) ──
+    val outerByNode = outerNodes.groupBy(col("nd"))
+      .agg(collect_set(col("bkey")).as("outer_bkeys"))
+    val closureOf = udf { (path: Seq[String], outer: Seq[String]) =>
+      val o = if (outer == null) Set.empty[String] else outer.toSet
+      path.find(a => !o.contains(a)).getOrElse("OPEN")
+    }
+    val junctionEdges = junctionAtoms
+      .join(metaDf.select(col("bkey"), col("path")), Seq("bkey"))
+      .join(outerByNode, Seq("nd"), "left")
+      .withColumn("closure", closureOf(col("path"), col("outer_bkeys")))
+      .groupBy(col("nd"), col("closure"))
+      .agg(sort_array(collect_list(col("street_chain"))).as("port_chains"),
+        count(lit(1)).as("n_ports"))
+      .withColumn("outer_name",
+        when(col("closure") === "OPEN", concat(lit("node "), col("nd"))))
+
+    PlaceTables(boundaries, streets, buildings, junctionAtoms, junctionEdges,
+      errors.select("bkey", "elem_key", "cls", "tags"))
+  }
+
+  /** A6/S8 stats (hierarchy.ml:236-286): node count = entities + their ID
+    * atoms + junction atoms; edge count = one closed ID link per named
+    * entity + one hyperedge per (node, closure). */
+  def stats(t: PlaceTables): PlaceStats = {
+    val nB = t.boundaries.count()
+    val nS = t.streets.count()
+    val nBu = t.buildings.count()
+    val nJ = t.junctionAtoms.count()
+    val nE = t.junctionEdges.count()
+    val nOpen = t.junctionEdges.filter(col("outer_name").isNotNull).count()
+    PlaceStats(nB, nS, nBu, nJ,
+      nNodes = 2 * (nB + nS + nBu) + nJ,
+      nEdges = nB + nS + nBu + nE,
+      nOpenNames = nOpen)
+  }
+
+  /** End-to-end build from a reference-format data directory. */
+  def fromOsmDir(spark: SparkSession, dataDir: String,
+                 rootLevel: Int, rootId: Long, rootName: String): (Seq[BoundaryMeta], PlaceTables) = {
+    val bs = Hierarchy.discover(spark, dataDir, rootLevel, rootId, rootName)
+    val metas = Hierarchy.metadata(bs)
+    val elems = Hierarchy.readElements(spark, dataDir, metas.map(_.bkey))
+    (metas, build(spark, elems, metas))
+  }
+}
