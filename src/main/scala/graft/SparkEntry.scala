@@ -15,14 +15,14 @@ import graft.text.TextOps
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the north-star geocode+tile pipeline (BASELINE.json:6) on a
+    * small deterministic synthetic world — pages geoparsed, spatially
+    * joined into the admin hierarchy, tiled, kNN-snapped. */
   def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val li = spark.read.parquet(s"$dir/lineitem.parquet")
-    val o = spark.read.parquet(s"$dir/orders.parquet")
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    val cfg = graft.synth.SynthWorld.Config(
+      seed = 42L, gridP = 2, gridC = 2,
+      streetsPerCity = 5, buildingsPerStreet = 6, pages = 5000L)
+    graft.web.Flagship.geocode(spark, cfg)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,159 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.io.WKBWriter
+
+/** Deterministic synthetic world + Common-Crawl-style web-pages generator
+  * (FIXTURES.md §3-4). Everything is a pure function of (seed, index):
+  *  - a 3-level admin hierarchy (country ⊃ provinces ⊃ cities) with real
+  *    rectangular geometry over lon [0,8] × lat [40,48]
+  *  - streets and named buildings along them, with exact coordinates
+  *  - a pages table (url, warc_ts, html, text, lang) whose text embeds
+  *    geoparse-able "geo:lat,lon" markers drawn from the buildings, so every
+  *    page has a known-true admin chain / tile / nearest building — the
+  *    containment oracle for the spatial layer (north star,
+  *    BASELINE.json:6,15). `text` is a pure function of `url`, and `html`
+  *    wraps `text`, so byte-identical extraction is assertable by checksum.
+  * Pages are generated distributively via spark.range — no driver
+  * materialization, so the same generator shape scales to 10^12 rows.
+  */
+object SynthWorld {
+
+  case class Config(
+      seed: Long = 42L,
+      gridP: Int = 3, // provinces = gridP²
+      gridC: Int = 3, // cities per province = gridC²
+      streetsPerCity: Int = 10,
+      buildingsPerStreet: Int = 8,
+      pages: Long = 10000L)
+
+  val (lonMin, latMin, lonMax, latMax) = (0.0, 40.0, 8.0, 48.0)
+
+  // ── deterministic hashing (splitmix64) ──
+  def mix(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+  def unif(h: Long): Double = (h >>> 11).toDouble / (1L << 53).toDouble
+
+  case class AdminRect(id: Long, level: Int, name: String, parentId: Long,
+                       x0: Double, y0: Double, x1: Double, y1: Double) {
+    def chain(byId: Map[Long, AdminRect]): String =
+      byId.get(parentId).map(_.chain(byId) + ">").getOrElse("") + name
+  }
+
+  case class SynthBuilding(id: Long, name: String, street: String,
+                           cityId: Long, lat: Double, lon: Double)
+
+  /** The admin rectangles: 1 country + gridP² provinces + cities. */
+  def adminRects(cfg: Config): Seq[AdminRect] = {
+    val root = AdminRect(1L, 2, "Synthia", 0L, lonMin, latMin, lonMax, latMax)
+    val pw = (lonMax - lonMin) / cfg.gridP
+    val ph = (latMax - latMin) / cfg.gridP
+    val provinces = for (pi <- 0 until cfg.gridP; pj <- 0 until cfg.gridP) yield {
+      val pid = 100L + pi.toLong * cfg.gridP + pj
+      AdminRect(pid, 6, s"Province-$pi-$pj", 1L,
+        lonMin + pi * pw, latMin + pj * ph, lonMin + (pi + 1) * pw, latMin + (pj + 1) * ph)
+    }
+    val cities = provinces.flatMap { p =>
+      val cw = (p.x1 - p.x0) / cfg.gridC
+      val ch = (p.y1 - p.y0) / cfg.gridC
+      for (ci <- 0 until cfg.gridC; cj <- 0 until cfg.gridC) yield {
+        val cid = p.id * 1000L + ci.toLong * cfg.gridC + cj
+        AdminRect(cid, 8, s"City-${p.id}-$ci-$cj", p.id,
+          p.x0 + ci * cw, p.y0 + cj * ch, p.x0 + (ci + 1) * cw, p.y0 + (cj + 1) * ch)
+      }
+    }
+    Seq(root) ++ provinces ++ cities
+  }
+
+  def rectWkb(r: AdminRect): Array[Byte] = {
+    val gf = new GeometryFactory()
+    val poly = gf.createPolygon(Array(
+      new Coordinate(r.x0, r.y0), new Coordinate(r.x1, r.y0),
+      new Coordinate(r.x1, r.y1), new Coordinate(r.x0, r.y1),
+      new Coordinate(r.x0, r.y0)))
+    new WKBWriter().write(poly)
+  }
+
+  /** All buildings, driver-side (bounded: cities × streets × buildings —
+    * the dimension side of the spatial join; the fact side is pages). */
+  def buildings(cfg: Config): Seq[SynthBuilding] = {
+    val cities = adminRects(cfg).filter(_.level == 8)
+    cities.flatMap { c =>
+      (0 until cfg.streetsPerCity).flatMap { si =>
+        val street = s"Street-${c.id}-$si"
+        // horizontal street at fraction (si+0.5)/n of the city height,
+        // inset from the city edges so jittered pages stay inside
+        val y = c.y0 + (c.y1 - c.y0) * (si + 0.5) / cfg.streetsPerCity
+        (0 until cfg.buildingsPerStreet).map { bi =>
+          val x = c.x0 + (c.x1 - c.x0) * (bi + 0.5) / cfg.buildingsPerStreet
+          val bid = c.id * 10000L + si.toLong * 100 + bi
+          SynthBuilding(bid, s"Building-$bi $street", street, c.id, y, x)
+        }
+      }
+    }
+  }
+
+  private val langs = Array("en", "de", "fr", "es", "zh")
+
+  /** Pure text-of-url function — the byte-identical-extraction invariant
+    * anchor. Coordinates are formatted at fixed 6 decimals, Locale.ROOT. */
+  def pageText(urlIdx: Long, b: SynthBuilding, chain: String): String = {
+    val h = mix(urlIdx * 31L + 7L)
+    val filler = (0 until 8).map(k => s"w${(mix(h + k) & 0xff)}").mkString(" ")
+    val lat = "%.6f".formatLocal(java.util.Locale.ROOT, b.lat)
+    val lon = "%.6f".formatLocal(java.util.Locale.ROOT, b.lon)
+    s"$filler visiting ${b.name} on ${b.street} in $chain geo:$lat,$lon $filler"
+  }
+
+  case class Page(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
+                  text: String, lang: String)
+
+  /** Distributed pages table: (url, warc_ts, html, text, lang) — the
+    * BASELINE.json:15 input shape. */
+  def pages(spark: SparkSession, cfg: Config): Dataset[Page] = {
+    import spark.implicits._
+    val bs = buildings(cfg)
+    val byId = adminRects(cfg).map(r => r.id -> r).toMap
+    val chains = bs.map(b => b.id -> byId(b.cityId).chain(byId)).toMap
+    val bsB = spark.sparkContext.broadcast((bs.toArray, chains))
+    val baseTs = 1704067200000L // 2024-01-01T00:00:00Z
+    spark.range(cfg.pages).mapPartitions { it =>
+      val (arr, ch) = bsB.value
+      it.map { i =>
+        val h = mix(cfg.seed ^ (i * 0x5851f42d4c957f2dL))
+        val b = arr(((h >>> 16) % arr.length).toInt.abs)
+        val text = pageText(i, b, ch(b.id))
+        Page(
+          url = s"https://synth.example/p/$i",
+          warc_ts = new java.sql.Timestamp(baseTs + i * 1000L),
+          html = s"<html><head><title>p$i</title></head><body>$text</body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          text = text,
+          lang = langs((mix(h) & 0x7fffffff).toInt % langs.length))
+      }
+    }
+  }
+
+  /** Expected admin chain per url — the containment oracle for tests. */
+  def expectedChains(spark: SparkSession, cfg: Config): DataFrame = {
+    import spark.implicits._
+    val bs = buildings(cfg)
+    val byId = adminRects(cfg).map(r => r.id -> r).toMap
+    val chains = bs.map(b => b.id -> byId(b.cityId).chain(byId)).toMap
+    val bsB = spark.sparkContext.broadcast((bs.toArray, chains))
+    spark.range(cfg.pages).mapPartitions { it =>
+      val (arr, ch) = bsB.value
+      it.map { i =>
+        val h = mix(cfg.seed ^ (i * 0x5851f42d4c957f2dL))
+        val b = arr(((h >>> 16) % arr.length).toInt.abs)
+        (s"https://synth.example/p/$i", ch(b.id), b.id, b.name, b.lat, b.lon)
+      }
+    }.toDF("url", "expected_chain", "expected_building_id", "expected_building", "exp_lat", "exp_lon")
+  }
+}

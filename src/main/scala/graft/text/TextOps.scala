@@ -59,14 +59,16 @@ object TextOps {
       hits(Seq("le", "la", "et")).as("fr_hits"))
   }
 
-  /** Rolling-hash document fingerprint (polynomial 64-bit hash of the
-    * token stream) — byte-stable content identity cheaper than md5 on
-    * re-shuffled token arrays. */
+  /** Rolling-hash document fingerprint: order-sensitive 64-bit hash of the
+    * token stream via rotate-xor folding — overflow-free under ANSI mode,
+    * byte-stable content identity. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
       aggregate(
         split(col("text"), " "),
         lit(1469598103934665603L), // FNV-1a offset basis
-        (acc, tok) => (acc + xxhash64(tok)) * lit(1099511628211L)).as("fp"))
+        (acc, tok) =>
+          shiftleft(acc, 5).bitwiseOR(shiftrightunsigned(acc, 59))
+            .bitwiseXOR(xxhash64(tok))).as("fp"))
 }

@@ -1,0 +1,132 @@
+package graft.web
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.CellIndex
+import graft.spatial.{BoundaryCellIndex, PointCellIndex, SpatialBoundary}
+
+/** The north-star pipeline (BASELINE.json:6): geoparse Common-Crawl-style
+  * pages, spatially join each page's point into the admin-boundary
+  * hierarchy (cell-cover prejoin + exact PIP refine), assign its tile at
+  * `tileLevel`, and kNN-snap to the nearest building.
+  *
+  * Plan shape at 100 TB: the pages scan is the only wide input; the
+  * boundary index and building index are broadcast dimensions, so the whole
+  * geocode is a single narrow mapPartitions over the scan — no shuffle, no
+  * skew surface. Filters (`geo:` presence) and the 3-column projection push
+  * into the parquet scan.
+  */
+object Geocode {
+
+  val GeoPattern = "geo:(-?[0-9]+\\.[0-9]+),(-?[0-9]+\\.[0-9]+)"
+
+  /** Deterministic text extraction from html — must be byte-identical to
+    * the original `text` (the BASELINE.json:15 invariant, asserted by
+    * [[checkExtractionInvariant]]). */
+  val extractText: Array[Byte] => String = (html: Array[Byte]) => {
+    val s = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val body = s.indexOf("<body>")
+    val end = s.indexOf("</body>")
+    if (body >= 0 && end > body) s.substring(body + 6, end)
+    else s.replaceAll("<[^>]*>", "")
+  }
+
+  /** Geoparse: pull the first embedded geo:lat,lon marker out of `text`
+    * (regexp, codegen'd). Pages without a marker keep null coordinates —
+    * a gazetteer join is the fallback (see [[geoparseWithGazetteer]]). */
+  def geoparse(pages: DataFrame): DataFrame =
+    pages
+      .withColumn("lat_s", regexp_extract(col("text"), GeoPattern, 1))
+      .withColumn("lon_s", regexp_extract(col("text"), GeoPattern, 2))
+      .withColumn("lat", when(col("lat_s") =!= "", col("lat_s").cast("double")))
+      .withColumn("lon", when(col("lon_s") =!= "", col("lon_s").cast("double")))
+      .drop("lat_s", "lon_s")
+
+  /** Gazetteer fallback: pages with no coordinate marker are matched by
+    * place-name mention against a broadcast gazetteer (name → centroid). */
+  def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame): DataFrame = {
+    val parsed = geoparse(pages)
+    val withCoords = parsed.filter(col("lat").isNotNull)
+    val without = parsed.filter(col("lat").isNull).drop("lat", "lon")
+    val matched = without
+      .join(broadcast(gazetteer.select(col("place_name"), col("g_lat"), col("g_lon"))),
+        col("text").contains(col("place_name")), "left")
+      .groupBy(without.columns.map(col): _*)
+      .agg(first(col("g_lat"), ignoreNulls = true).as("lat"),
+           first(col("g_lon"), ignoreNulls = true).as("lon"))
+    withCoords.unionByName(matched)
+  }
+
+  /** One geocode result bundle — single struct so the whole spatial join
+    * costs one UDF serde per row. */
+  case class GeoResult(cell_id: Long,
+                       boundary_id: java.lang.Long, admin_level: java.lang.Integer,
+                       admin_chain: String,
+                       nearest_building_id: java.lang.Long,
+                       nearest_building_dist_m: java.lang.Double)
+
+  /** Per-task geocode kernel: broadcast values resolved once per
+    * deserialized task closure (transient lazy), not per row. */
+  private class GeoHelper(
+      bIdxB: org.apache.spark.broadcast.Broadcast[BoundaryCellIndex],
+      pIdxB: org.apache.spark.broadcast.Broadcast[PointCellIndex],
+      tileLevel: Int) extends Serializable {
+    @transient private lazy val b = bIdxB.value
+    @transient private lazy val p = pIdxB.value
+    def apply(lat: Double, lon: Double): GeoResult = {
+      val place = b.resolve(lat, lon)
+      val near = p.nearest(lat, lon)
+      GeoResult(
+        CellIndex.cellOf(lat, lon, tileLevel),
+        place.map(x => java.lang.Long.valueOf(x.id)).orNull,
+        place.map(x => java.lang.Integer.valueOf(x.level)).orNull,
+        place.map(_.chain).orNull,
+        near.map(n => java.lang.Long.valueOf(n._1)).orNull,
+        near.map(n => java.lang.Double.valueOf(n._2)).orNull)
+    }
+  }
+
+  /** Core spatial join: point → deepest admin boundary + tile + kNN snap.
+    * One narrow pass, one combined UDF; both indexes broadcast — the pages
+    * scan is the only wide input, zero shuffle (SURVEY.md §2.3 J7/J9). */
+  // broadcast indexes are built once per (session, dimension-set) and
+  // reused across jobs — deployment shape: the boundary index outlives
+  // every micro-batch of pages
+  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Int, Int, Int),
+    (org.apache.spark.broadcast.Broadcast[BoundaryCellIndex],
+     org.apache.spark.broadcast.Broadcast[PointCellIndex])]()
+
+  def assign(spark: SparkSession, parsed: DataFrame,
+             boundaries: Seq[SpatialBoundary], buildings: Seq[(Long, Double, Double)],
+             coverLevel: Int, tileLevel: Int, snapLevel: Int): DataFrame = {
+    val key = (spark.sparkContext.applicationId + "/" + boundaries.size + "/" + buildings.size,
+      coverLevel, tileLevel, snapLevel)
+    val (bIdx, pIdx) = indexCache.computeIfAbsent(key, _ =>
+      (spark.sparkContext.broadcast(BoundaryCellIndex.build(boundaries, coverLevel)),
+       spark.sparkContext.broadcast(PointCellIndex.build(buildings, snapLevel))))
+
+    val helper = new GeoHelper(bIdx, pIdx, tileLevel)
+    val geo = udf { (lat: Double, lon: Double) => helper(lat, lon) }
+
+    parsed
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+      .select(col("url"), col("warc_ts"), col("lang"), col("lat"), col("lon"),
+        geo(col("lat"), col("lon")).as("g"))
+      .select(col("url"), col("warc_ts"), col("lang"), col("lat"), col("lon"),
+        col("g.cell_id").as("cell_id"),
+        col("g.boundary_id").as("boundary_id"),
+        col("g.admin_level").as("admin_level"),
+        col("g.admin_chain").as("admin_chain"),
+        col("g.nearest_building_id").as("nearest_building_id"),
+        col("g.nearest_building_dist_m").as("nearest_building_dist_m"))
+  }
+
+  /** BASELINE.json:15 invariant: extracted text is byte-identical per url.
+    * Returns violation count (0 = pass). */
+  def checkExtractionInvariant(pages: DataFrame): Long = {
+    val extract = udf(extractText)
+    pages.filter(md5(to_binary(extract(col("html")).cast("string"), lit("utf-8"))) =!=
+      md5(to_binary(col("text"), lit("utf-8")))).count()
+  }
+}

@@ -1,0 +1,81 @@
+package graft.web
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Per-partition lineage manifests + resume (north rule: "resumable from
+  * checkpoint with per-partition lineage + metrics"; SURVEY.md §4.3).
+  *
+  * Output layout (Iceberg-style metadata written by hand — no Iceberg jar
+  * in the sandbox, SURVEY.md §1.2):
+  *   <outDir>/data/bucket=<cellPrefix>/part-*.parquet
+  *   <outDir>/_manifests/bucket-<cellPrefix>.json   (rows, checksum, snapshot)
+  *   <outDir>/_snapshots/<snapshotId>.json          (committed bucket list)
+  *
+  * A bucket (coarse cell prefix of the row's tile) is the unit of resume: a
+  * killed job leaves some buckets without manifests; the rerun recomputes
+  * only those (dynamic partition overwrite), never touching completed ones.
+  */
+object Lineage {
+
+  case class Manifest(bucket: Long, rows: Long, checksum: Long,
+                      snapshotId: String, completedAtMs: Long)
+
+  case class RunResult(pending: Seq[Long], skipped: Seq[Long], manifests: Seq[Manifest])
+
+  private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifests")
+
+  def completed(outDir: String): Map[Long, Manifest] = {
+    val dir = manifestDir(outDir)
+    if (!Files.isDirectory(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val m = Files.readString(p)
+        def field(k: String): String =
+          s""""$k"\\s*:\\s*("[^"]*"|-?\\d+)""".r.findFirstMatchIn(m)
+            .map(_.group(1).stripPrefix("\"").stripSuffix("\"")).getOrElse("")
+        Manifest(field("bucket").toLong, field("rows").toLong,
+          field("checksum").toLong, field("snapshotId"), field("completedAtMs").toLong)
+      }
+      .map(m => m.bucket -> m).toMap
+  }
+
+  /** Write `df` (which must carry `bucket` and `url` columns) partitioned by
+    * bucket, skipping buckets whose manifests exist. Returns what ran. */
+  def run(spark: SparkSession, df: DataFrame, outDir: String,
+          snapshotId: String): RunResult = {
+    val done = completed(outDir)
+    val allBuckets = df.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    val pending = allBuckets.filterNot(done.contains)
+    val skipped = allBuckets.filter(done.contains)
+    if (pending.nonEmpty) {
+      val work = df.filter(col("bucket").isin(pending: _*))
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      work.write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
+      // per-bucket lineage: row count + order-independent checksum
+      // bit_xor: order-independent and overflow-free (ANSI mode is on)
+      val stats = work.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("rows"),
+             expr("bit_xor(xxhash64(url))").as("checksum"))
+        .collect()
+      Files.createDirectories(manifestDir(outDir))
+      val now = System.currentTimeMillis()
+      val ms = stats.map { r =>
+        val m = Manifest(r.getLong(0), r.getLong(1), r.getLong(2), snapshotId, now)
+        Files.writeString(manifestDir(outDir).resolve(s"bucket-${m.bucket}.json"),
+          s"""{"bucket": ${m.bucket}, "rows": ${m.rows}, "checksum": ${m.checksum}, """ +
+            s""""snapshotId": "${m.snapshotId}", "completedAtMs": ${m.completedAtMs}}""")
+        m
+      }
+      val snapDir = Paths.get(outDir, "_snapshots")
+      Files.createDirectories(snapDir)
+      Files.writeString(snapDir.resolve(s"$snapshotId.json"),
+        s"""{"snapshotId": "$snapshotId", "completedAtMs": $now, """ +
+          s""""buckets": [${(skipped ++ pending).sorted.mkString(",")}]}""")
+      RunResult(pending.toSeq, skipped.toSeq, ms.toSeq)
+    } else RunResult(Nil, skipped.toSeq, Nil)
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.synth.SynthWorld
+import graft.web.{Flagship, Geocode, Lineage}
+import graft.cells.CellIndex
+
+/** End-to-end correctness of the north-star spatial join against the
+  * synthetic world's known-true containment (FIXTURES.md §3-4). */
+class GeocodeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
+    streetsPerCity = 3, buildingsPerStreet = 4, pages = 2000L)
+
+  test("every page resolves to its true admin chain, tile, and building") {
+    val out = Flagship.geocode(spark, cfg).cache()
+    val expected = SynthWorld.expectedChains(spark, cfg)
+    val joined = out.join(expected, "url").cache()
+    assert(joined.count() == cfg.pages, "every page must geocode")
+
+    val wrongChain = joined.filter(col("admin_chain") =!= col("expected_chain")).count()
+    assert(wrongChain == 0, s"$wrongChain pages with wrong admin chain")
+
+    val tileOf = udf { (lat: Double, lon: Double) =>
+      CellIndex.cellOf(lat, lon, Flagship.TileLevel) }
+    val wrongTile = joined.filter(col("cell_id") =!= tileOf(col("lat"), col("lon"))).count()
+    assert(wrongTile == 0)
+
+    // page coordinates round-trip through 6-decimal text (≈5 cm error);
+    // the snap must still pick the source building, at sub-meter distance
+    val badSnapId = joined.filter(col("nearest_building_id") =!= col("expected_building_id")).count()
+    assert(badSnapId == 0, s"$badSnapId pages snapped to the wrong building")
+    val badSnapD = joined.filter(col("nearest_building_dist_m") > 0.2).count()
+    assert(badSnapD == 0, s"$badSnapD pages snapped at >0.2 m")
+
+    assert(joined.filter(col("admin_level") =!= 8).count() == 0,
+      "deepest containing boundary must be the city (level 8)")
+  }
+
+  test("extraction invariant: html→text is byte-identical per url") {
+    val pages = SynthWorld.pages(spark, cfg).toDF()
+    assert(Geocode.checkExtractionInvariant(pages) == 0L)
+  }
+
+  test("gazetteer fallback geocodes marker-less pages by place-name mention") {
+    val gaz = Seq(("City-100-0-0", 41.0, 1.0), ("City-100-0-1", 43.0, 1.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq(
+      ("u1", "warc", "we visited City-100-0-0 yesterday", "en"),
+      ("u2", "warc", "geo:45.500000,2.500000 explicit", "en"),
+      ("u3", "warc", "no place here", "en"))
+      .toDF("url", "warc_ts", "text", "lang")
+    val parsed = Geocode.geoparseWithGazetteer(pages, gaz).collect()
+      .map(r => r.getAs[String]("url") ->
+        (Option(r.getAs[java.lang.Double]("lat")), Option(r.getAs[java.lang.Double]("lon")))).toMap
+    assert(parsed("u2")._1.map(_.doubleValue) == Some(45.5))
+    assert(parsed("u1")._1.map(_.doubleValue) == Some(41.0))
+    assert(parsed("u3")._1.isEmpty)
+  }
+
+  test("lineage manifests make the job resumable without recompute") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
+    val df = Flagship.geocode(spark, cfg).cache()
+    val buckets = df.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    assert(buckets.length > 1, "need multiple buckets to exercise resume")
+
+    // simulate a killed job: only a prefix of buckets completed
+    val firstHalf = buckets.take(buckets.length / 2)
+    val r1 = Lineage.run(spark, df.filter(col("bucket").isin(firstHalf: _*)), outDir, "snap-1")
+    assert(r1.pending.sorted == firstHalf.toSeq)
+
+    // resume: full input; completed buckets are skipped, not recomputed
+    val r2 = Lineage.run(spark, df, outDir, "snap-2")
+    assert(r2.skipped.sorted == firstHalf.toSeq)
+    assert(r2.pending.sorted == buckets.drop(buckets.length / 2).toSeq)
+
+    // third run: everything is a no-op
+    val r3 = Lineage.run(spark, df, outDir, "snap-3")
+    assert(r3.pending.isEmpty && r3.skipped.sorted == buckets.toSeq)
+
+    // final output is complete and correct
+    val out = spark.read.parquet(s"$outDir/data")
+    assert(out.count() == df.count())
+    assert(out.select("url").distinct().count() == cfg.pages)
+    // manifests carry per-bucket lineage that matches the data
+    val ms = Lineage.completed(outDir)
+    val actual = out.groupBy("bucket").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ms.view.mapValues(_.rows).toMap == actual)
+  }
+}
