@@ -58,6 +58,26 @@ object SparkEntry {
                                        col("de_hits").cast("long").as("de_hits"),
                                        col("fr_hits").cast("long").as("fr_hits"))),
     "q24_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q25_jaccard_neardup" -> ((s, d) => graft.text.NearDup.jaccardPairs(s, d, thresholdPct = 80)),
+    "q26_minhash_lsh"    -> ((s, d) => graft.text.NearDup.minhashLsh(s, d, thresholdPct = 80)),
+    "q27_simhash_pairs"  -> ((s, d) => graft.text.NearDup.simhashPairs(s, d, maxHamming = 8)),
+    "q28_cosine_top1"    -> ((s, d) => {
+                               // argmax by ROUNDED cosine then min id, so the
+                               // tie-break matches the oracle exactly; the true
+                               // winner is always within the exact top-8
+                               import org.apache.spark.sql.expressions.Window
+                               val w = Window.partitionBy(col("vec_id"))
+                                 .orderBy(col("cos_r4").desc, col("neighbor_id").asc)
+                               graft.sim.Ann.bruteTopK(s, d, k = 8)
+                                 .withColumn("cos_r4", round(col("cos_sim"), 4))
+                                 .withColumn("rn", row_number().over(w))
+                                 .filter(col("rn") === 1)
+                                 .select(col("vec_id"), col("neighbor_id"), col("cos_r4"))
+                             }),
+    "q29_ann_lsh_topk"   -> ((s, d) => graft.sim.Ann.lshTopK(s, d, k = 3)
+                               .select(col("vec_id"), col("rank"), col("neighbor_id"))),
+    "q30_media_features" -> ((s, d) => graft.multimodal.MultiModal.featureStats(s, 2000L)),
+    "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -172,5 +192,44 @@ object SparkEntry {
          FROM documents""",
     // q24_fingerprint: xxhash64-based rolling hash has no DuckDB equivalent —
     // rows-only check (SURVEY.md §2.7 extension functions).
+    "q25_jaccard_neardup" ->
+      """WITH ts AS (
+           SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+           FROM documents WHERE doc_id < 1000
+         ), sz AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM ts a JOIN ts b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b
+         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         WHERE inter * 100 >= (sa.n + sb.n - inter) * 80""",
+    // q26/q27/q29/q30: LSH band hashing + xxhash64/simhash internals have no
+    // DuckDB equivalent — rows-only checks; exactness is covered by the
+    // ScalaTest recall specs against brute force (NearDupSpec/AnnSpec).
+    "q28_cosine_top1" ->
+      """SELECT vec_id, neighbor_id, cos_r4 FROM (
+           SELECT a.vec_id, b.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_r4,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
+                             b.vec_id ASC) AS rn
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         ) WHERE rn = 1""",
+    "q31_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, event_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                       THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ), sess AS (
+           SELECT user_id, ts,
+                  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM marked)
+         SELECT user_id, session_seq, count(*) AS n_events,
+                CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+         FROM sess GROUP BY user_id, session_seq""",
   )
 }

@@ -181,6 +181,23 @@ object Relational {
       .groupBy(col("hour"))
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
 
+  // ── Sessionization: stateful-stream analog in batch (SURVEY.md §2.10) —
+  // new session when a user's inter-event gap exceeds 30 min ──
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - unix_micros(col("prev_ts").cast("timestamp")) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts")).cast("timestamp")) - unix_micros(min(col("ts")).cast("timestamp"))).as("duration_us"))
+  }
+
   // ── U1/U2: union + except (query-raw.overpassql:34,93,97-102) ──
   def unionExcept(spark: SparkSession, dir: String): DataFrame = {
     val orders = t(spark, dir, "orders")

@@ -1,0 +1,134 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over the `documents` table — the dedup family
+  * a training-data pipeline needs at 100 TB. Three independent methods:
+  *
+  *  - exact word-set Jaccard via inverted-index pair join (the oracle-able
+  *    exact method; candidate pairs only where a token is shared, so the
+  *    join never goes quadratic on disjoint docs; hot tokens capped)
+  *  - MinHash + banded LSH (the scale path: candidates from band-bucket
+  *    equality, then exact verification — one shuffle per stage)
+  *  - SimHash with Hamming-ball banding
+  *
+  * All hashing is xxhash64 (codegen'd); no UDFs.
+  */
+object NearDup {
+
+  /** Pairwise queries run on a deterministic doc_id prefix so the work is
+    * O(subset²) at every scale factor (the oracle applies the same bound).
+    * The operators themselves scale by the token-index join, not by n². */
+  private def docs(spark: SparkSession, dir: String, maxDocId: Long = 1000L): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < maxDocId)
+
+  /** (doc_id, token) distinct — token sets, with document-frequency cap on
+    * tokens so a stopword shared by every doc can't create O(n²) pairs. */
+  private def tokenSets(d: DataFrame, maxDf: Int): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val hot = toks.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("token")
+    toks.join(broadcast(hot), Seq("token"), "left_anti")
+  }
+
+  /** Exact Jaccard similarity ≥ threshold over (capped) word sets.
+    * Pairs arise only from shared tokens: |candidates| = Σ_token df².
+    * Emits (doc_a, doc_b, inter, size_a, size_b) with integer counts so the
+    * DuckDB oracle hashes identically (jaccard = inter/(a+b-inter)). */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   thresholdPct: Int = 50, maxDf: Int = 1000): DataFrame = {
+    val ts = tokenSets(docs(spark, dir), maxDf).cache()
+    val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ts.as("a").join(ts.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      // integer cross-multiplication: inter/(union) >= pct/100
+      .filter(col("inter") * 100 >= (col("size_a") + col("size_b") - col("inter")) * thresholdPct)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
+  /** MinHash signature: for seed i, sig_i = min over tokens of
+    * xxhash64(i, token). One row per doc with sig ARRAY<LONG>. */
+  def minhashSignatures(d: DataFrame, numHashes: Int, maxDf: Int = 1000): DataFrame = {
+    val ts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i"))
+    ts.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidates, exact-Jaccard verified.
+    * bands × rowsPerBand = numHashes; candidate ⇔ some band identical. */
+  def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16,
+                 bands: Int = 4, thresholdPct: Int = 50): DataFrame = {
+    val d = docs(spark, dir)
+    val sigs = minhashSignatures(d, numHashes)
+    val rows = numHashes / bands
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+      .toDF("doc_id", "band", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact verification of candidates only
+    val ts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    cands
+      .join(ts.toDF("doc_a", "token"), "doc_a")
+      .join(ts.toDF("doc_b", "token"), Seq("doc_b", "token"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .filter(col("inter") * 100 >= (col("size_a") + col("size_b") - col("inter")) * thresholdPct)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+  }
+
+  /** 64-bit SimHash over token xxhash64s: sign of the per-bit vote sum. */
+  def simhash(d: DataFrame): DataFrame = {
+    val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .withColumn("h", xxhash64(col("token")))
+    // per bit: votes = Σ ±1; bit set ⇔ votes > 0
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$b")
+    }
+    toks.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within Hamming distance ≤ maxHamming, using
+    * 4×16-bit band exact-match prefilter (any pair within distance 3 shares
+    * at least one exact 16-bit band) then exact popcount verify. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs(spark, dir))
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      .toDF("doc_id", "simhash", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.text.NearDup
+import graft.sim.Ann
+import graft.multimodal.MultiModal
+
+class NearDupAnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash-LSH verified pairs are a subset of exact jaccard pairs and find planted dups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val base = (0L until 50L).map { i =>
+      val words = (0 until 40).map(j => s"tok${(i * 7 + j * 3) % 97}")
+      (i, words.mkString(" "), "en", "srcX", words.mkString(" ").length.toLong)
+    }
+    // plant: docs 100/101 are near-identical (39/41 token overlap)
+    val planted = Seq(
+      (100L, (0 until 40).map(j => s"dup$j").mkString(" "), "en", "srcX", 1L),
+      (101L, ((0 until 39).map(j => s"dup$j") :+ "extra").mkString(" "), "en", "srcX", 1L))
+    (base ++ planted).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val exact = NearDup.jaccardPairs(spark, dir, thresholdPct = 80)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = NearDup.minhashLsh(spark, dir, numHashes = 16, bands = 4, thresholdPct = 80)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-verified pairs: ${lsh -- exact}")
+    assert(exact.contains((100L, 101L)), "exact jaccard must find the planted pair")
+    assert(lsh.contains((100L, 101L)), "LSH must recall the planted near-identical pair")
+  }
+
+  test("simhash: identical token multisets collide at hamming 0") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here entirely unrelated"))
+      .toDF("doc_id", "text")
+    val sh = NearDup.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) > 8)
+  }
+
+  test("brute cosine top-k is exact on a hand-built fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f), 0), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 1),
+      (3L, Array(0.0f, 0.9f, 0.2f), 1)) // closest to 2
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = Ann.bruteTopK(spark, dir, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1(0L) == 1L && top1(1L) == 0L && top1(2L) == 3L && top1(3L) == 2L)
+  }
+
+  test("LSH ANN achieves useful recall@3 against brute force on sf0.001") {
+    val brute = Ann.bruteTopK(spark, sf, k = 3)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(spark, sf, k = 3, planes = 16, bands = 8)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, f"LSH recall@3 too low: $recall%.3f")
+  }
+
+  test("multimodal feature extraction preserves schema and batch shape") {
+    val feats = MultiModal.extractFeatures(MultiModal.synthMedia(spark, 500L)).toDF().cache()
+    assert(feats.count() == 500)
+    assert(feats.filter(size(col("feature")) =!= 16).count() == 0)
+    val kinds = feats.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio"))
+    // deterministic: same seed → same features
+    val again = MultiModal.extractFeatures(MultiModal.synthMedia(spark, 500L)).toDF()
+    assert(feats.select("media_id", "feature").exceptAll(
+      again.select("media_id", "feature")).count() == 0)
+  }
+}
