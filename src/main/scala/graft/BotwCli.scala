@@ -1,17 +1,33 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.bigraph.Assembly
 import graft.hier.PlacePipeline
+import graft.react.Reactions
 
-/** CLI mirroring the reference binary's build+stats surface
-  * (bin/botw.ml:171-203): `runMain graft.BotwCli <level> <relId> <name>
-  * [dataDir]` builds the place hierarchy from per-boundary OSM extracts and
-  * prints the S8 stats block (hierarchy.ml:236-286). */
+/** CLI mirroring the reference binary's surface (bin/botw.ml:171-203):
+  *
+  *   runMain graft.BotwCli <level> <relId> <name> [dataDir] [flags...]
+  *     -write-json <path>   S5 sink after build
+  *     -load <path>         skip build, load bigraph JSON (botw.ml:18-27)
+  *     -one-reaction        B1 + leave_building (botw.ml:58-83)
+  *     -all-reactions       the full 8-rule sequence (botw.ml:84-167)
+  *     -seed <n>            building pick seed (replaces Random.self_init, F7)
+  *
+  * Prints the S8 stats block (hierarchy.ml:236-286) in the reference's
+  * format, then per-reaction timings.
+  */
 object BotwCli {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 3, "usage: BotwCli <level> <relId> <name> [dataDir]")
+    require(args.length >= 3, "usage: BotwCli <level> <relId> <name> [dataDir] [flags]")
     val (level, relId, name) = (args(0).toInt, args(1).toLong, args(2))
-    val dataDir = if (args.length > 3) args(3) else "/root/reference/data"
+    val rest = args.drop(3)
+    val dataDir = rest.headOption.filterNot(_.startsWith("-")).getOrElse("/root/reference/data")
+    def flag(f: String): Boolean = rest.contains(f)
+    def flagArg(f: String): Option[String] =
+      rest.zipWithIndex.collectFirst { case (`f`, i) if i + 1 < rest.length => rest(i + 1) }
+
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,18 +36,73 @@ object BotwCli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val t0 = System.nanoTime()
-    val (metas, tables) = PlacePipeline.fromOsmDir(spark, dataDir, level, relId, name)
-    val s = PlacePipeline.stats(tables)
-    val dt = (System.nanoTime() - t0) / 1e9
-    println(s"Number of nodes: ${s.nNodes}")
-    println(s"Number of edges: ${s.nEdges}")
-    println(s"Number of outer names:${s.nOpenNames}")
-    println(s"Number of boundaries: ${s.nBoundaries}")
-    println(s"Number of streets: ${s.nStreets}")
-    println(s"Number of buildings: ${s.nBuildings}")
-    println(s"Number of junctions: ${s.nJunctions}")
-    println(f"[botw] built ${metas.size} boundary extracts in $dt%.2f s")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[botw] $label: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
+    var state = flagArg("-load") match {
+      case Some(path) => timed("load")(Assembly.loadJson(spark, path))
+      case None =>
+        val (_, tables) = timed("build") {
+          PlacePipeline.fromOsmDir(spark, dataDir, level, relId, name)
+        }
+        for (out <- flagArg("-write-json")) timed("write-json") {
+          Assembly.writeJson(spark, tables, out)
+        }
+        Assembly.toState(spark, tables)
+    }
+
+    // stats (S8)
+    val nJ = state.countCtrl("Junction")
+    val nB = state.countCtrl("Boundary")
+    val nS = state.countCtrl("Street")
+    val nBu = state.countCtrl("Building")
+    val nEdges = nB + nS + nBu + state.junctionEdges.select("edge_key").distinct().count()
+    val nOpen = state.junctionEdges.filter(col("edge_key").endsWith("@OPEN") ||
+      col("edge_key").startsWith("node ")).select("edge_key").distinct().count()
+    println(s"Number of nodes: ${2 * (nB + nS + nBu) + nJ}")
+    println(s"Number of edges: $nEdges")
+    println(s"Number of outer names:$nOpen")
+    println(s"Number of boundaries: $nB")
+    println(s"Number of streets: $nS")
+    println(s"Number of buildings: $nBu")
+    println(s"Number of junctions: $nJ")
+
+    if (flag("-one-reaction") || flag("-all-reactions")) {
+      val seed = flagArg("-seed").map(_.toLong).getOrElse(42L)
+      // F7: seeded pick from the buildings-in-streets pool (A7)
+      val pool = state.places.as("b").filter(col("b.ctrl") === "Building")
+        .join(state.places.as("p"),
+          col("b.parent") === col("p.id") && col("p.ctrl") === "Street")
+        .select(col("b.name")).distinct().orderBy("name").collect().map(_.getString(0))
+      require(pool.nonEmpty, "no buildings in streets")
+      val pick = pool((graft.synth.SynthWorld.mix(seed).abs % pool.length).toInt)
+      println(s"[botw] picked building: $pick")
+      state = timed("add_agent_to_building")(
+        Reactions.addAgentToBuilding(state, pick, "agent-0"))
+      state = timed("leave_building")(Reactions.leave(state, "Building")).getOrElse(state)
+      if (flag("-all-reactions")) {
+        def step(label: String)(r: => Option[graft.react.BigraphState]): Unit =
+          timed(label)(r) match {
+            case Some(next) => state = next
+            case None => println(s"[botw] $label: no occurrence")
+          }
+        step("move_across_linked_streets")(Reactions.moveAcrossLinkedStreets(state))
+        step("enter_building")(Reactions.enter(state, "Building"))
+        step("enter_building_from_street")(
+          Reactions.enter(state, "Building", Some("Street")))
+        step("leave_street")(Reactions.leave(state, "Street"))
+        step("enter_building_from_boundary")(
+          Reactions.enter(state, "Building", Some("Boundary")))
+        step("enter_street")(Reactions.enter(state, "Street"))
+        step("connect_to_nearby_agent")(Reactions.connectToNearbyAgent(state))
+      }
+      println(s"[botw] agent at: ${state.whereIs("agent-0")}")
+    }
     spark.stop()
   }
 }

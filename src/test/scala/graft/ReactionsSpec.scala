@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.bigraph.{Assembly, BigraphJson}
+import graft.hier.PlacePipeline
+import graft.react.Reactions
+
+/** Reaction rules (SURVEY.md §2.9) applied to the real Dover bigraph, and
+  * the S5/S6 JSON round trip. Mirrors bin/botw.ml's -all-reactions
+  * sequence: add agent → leave_building → move_across_linked_streets →
+  * enter_building → leave_street → enter_street → contacts. */
+class ReactionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val doverTables =
+    PlacePipeline.fromOsmDir(spark, "/root/reference/data", 10, 2604777L, "Dover")._2
+
+  test("S5/S6: written JSON round-trips to the identical canonical structure") {
+    val path = java.nio.file.Files.createTempFile("graft-dover", ".json").toString
+    Assembly.writeJson(spark, doverTables, path)
+    val reread = BigraphJson.readGolden(path)
+    val direct = BigraphJson.canonOf(doverTables)
+    assert(reread.boundaryChains == direct.boundaryChains)
+    assert(reread.streetChains == direct.streetChains)
+    assert(reread.buildingChains == direct.buildingChains)
+    assert(reread.junctionsByStreet == direct.junctionsByStreet)
+    assert(reread.edges == direct.edges)
+    assert(reread.nNodes == direct.nNodes && reread.nEdges == direct.nEdges
+      && reread.nOpen == direct.nOpen)
+  }
+
+  test("S6 loads the reference golden into a reaction-ready state") {
+    val s = Assembly.loadJson(spark, "/root/reference/output/10-2604777-Dover.json")
+    assert(s.countCtrl("Boundary") == 1 && s.countCtrl("Street") == 391 &&
+      s.countCtrl("Building") == 158 && s.countCtrl("Junction") == 1084)
+  }
+
+  test("reaction sequence moves the agent through the hierarchy deterministically") {
+    var s = Assembly.toState(spark, doverTables)
+    // pick a building that sits in a street (A7 buildings_in_streets pool)
+    val b = s.places.as("b").filter(col("b.ctrl") === "Building")
+      .join(s.places.as("p"), col("b.parent") === col("p.id") && col("p.ctrl") === "Street")
+      .select(col("b.name")).orderBy(col("name")).limit(1).collect()(0).getString(0)
+
+    s = Reactions.addAgentToBuilding(s, b, "agent-1")         // B1
+    assert(s.whereIs("agent-1").map(_._2) == Some("Building"))
+
+    s = Reactions.leave(s, "Building").get                    // B2
+    assert(s.whereIs("agent-1").map(_._2) == Some("Street"))
+    val street0 = s.whereIs("agent-1").get._1
+
+    val moved = Reactions.moveAcrossLinkedStreets(s)          // B5
+    assert(moved.isDefined, "Dover has junction-linked streets")
+    s = moved.get
+    assert(s.whereIs("agent-1").map(_._2) == Some("Street"))
+    assert(s.whereIs("agent-1").get._1 != street0, "agent must change street")
+
+    // B4: apply if the new street has a building; else no occurrence —
+    // same as the reference's BRS.apply returning None (botw.ml:84-167)
+    Reactions.enter(s, "Building", viaParentCtrl = Some("Street")) match {
+      case Some(next) =>
+        s = next
+        assert(s.whereIs("agent-1").map(_._2) == Some("Building"))
+        s = Reactions.leave(s, "Building").get
+      case None =>
+        assert(s.whereIs("agent-1").map(_._2) == Some("Street"))
+    }
+    s = Reactions.leave(s, "Street").get                      // B2 leave_street
+    assert(s.whereIs("agent-1").map(_._2) == Some("Boundary"))
+
+    s = Reactions.enter(s, "Street").get                      // B3 enter_street
+    assert(s.whereIs("agent-1").map(_._2) == Some("Street"))
+  }
+
+  test("connect_to_nearby_agent links each co-located pair exactly once (AppCond)") {
+    var s = Assembly.toState(spark, doverTables)
+    val b = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
+      .limit(1).collect()(0).getString(2)
+    s = Reactions.addAgentToBuilding(s, b, "a1")
+    s = Reactions.addAgentToBuilding(s, b, "a2")
+    s = Reactions.addAgentToBuilding(s, b, "a3")
+    val (after, steps) = Reactions.fix(s, Reactions.connectToNearbyAgent)
+    assert(steps == 3, s"3 pairs expected, got $steps") // C(3,2), each once
+    assert(Reactions.connectToNearbyAgent(after).isEmpty)
+  }
+
+  test("B7 fix reaches a fixpoint: repeated leave_building empties all buildings of agents") {
+    var s = Assembly.toState(spark, doverTables)
+    val bs = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
+      .limit(2).collect().map(_.getString(2))
+    s = Reactions.addAgentToBuilding(s, bs(0), "x1")
+    s = Reactions.addAgentToBuilding(s, bs(1), "x2")
+    val (after, steps) = Reactions.fix(s, st => Reactions.leave(st, "Building"))
+    assert(steps == 2)
+    val stillIn = after.places.as("a").filter(col("a.ctrl") === "Agent")
+      .join(after.places.as("p"), col("a.parent") === col("p.id") && col("p.ctrl") === "Building")
+      .count()
+    assert(stillIn == 0)
+  }
+}
