@@ -78,7 +78,36 @@ object SparkEntry {
                                .select(col("vec_id"), col("rank"), col("neighbor_id"))),
     "q30_media_features" -> ((s, d) => graft.multimodal.MultiModal.featureStats(s, 2000L)),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
+    "q32_tile_agg"       -> ((s, d) => {
+                               // native codegen cell_of over deterministic
+                               // per-customer coordinates; the oracle rebuilds
+                               // the Z-order interleave in pure SQL bit math —
+                               // an engine-independent check of the codec
+                               graft.functions.GeoFunctions.register(s)
+                               Relational.t(s, d, "customer")
+                                 .withColumn("lat", (col("c_custkey") % 170).cast("double") - 85.0)
+                                 .withColumn("lon", ((col("c_custkey") * 7) % 350).cast("double") - 175.0)
+                                 .withColumn("cell",
+                                   graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), 8))
+                                 .groupBy("cell").agg(count(lit(1)).as("n"))
+                             }),
   )
+
+  /** Z-order interleave at level 8, spelled out in portable SQL bit math —
+    * mirrors CellIndex.fromIJ exactly. */
+  private def zorderSql: String = {
+    val z = (0 until 8).map(k =>
+      s"(((i >> $k) & 1) << ${2 * k}) + (((j >> $k) & 1) << ${2 * k + 1})").mkString(" + ")
+    s"""WITH pts AS (
+         SELECT CAST(c_custkey % 170 AS DOUBLE) - 85.0 AS lat,
+                CAST((c_custkey * 7) % 350 AS DOUBLE) - 175.0 AS lon
+         FROM customer
+       ), ij AS (
+         SELECT CAST(FLOOR((lon + 180) / 360 * 256) AS BIGINT) AS i,
+                CAST(FLOOR((lat + 90) / 180 * 256) AS BIGINT) AS j
+         FROM pts
+       ) SELECT (($z) << 47) | 8 AS cell, count(*) AS n FROM ij GROUP BY 1"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -231,5 +260,6 @@ object SparkEntry {
          SELECT user_id, session_seq, count(*) AS n_events,
                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
          FROM sess GROUP BY user_id, session_seq""",
+    "q32_tile_agg" -> zorderSql,
   )
 }

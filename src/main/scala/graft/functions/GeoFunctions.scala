@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import graft.cells.CellIndex
+
+/** Native Catalyst expressions for the tiling functions (SURVEY.md §4.3's
+  * optional upgrade: codegen `Expression` beats a Scala UDF — no
+  * serde, stays inside whole-stage codegen). The generated Java calls the
+  * static forwarders on [[graft.cells.CellIndex]] directly. */
+case class CellOf(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "cell_of"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(lat: Any, lon: Any, lvl: Any): Any =
+    CellIndex.cellOf(lat.asInstanceOf[Double], lon.asInstanceOf[Double], lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lon, lvl) => s"graft.cells.CellIndex.cellOf($lat, $lon, $lvl)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression = copy(f, s, t)
+}
+
+case class CellParentAt(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "cell_parent"
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(cell: Any, lvl: Any): Any =
+    CellIndex.parentAt(cell.asInstanceOf[Long], lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, l) => s"graft.cells.CellIndex.parentAt($c, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
+case class HaversineM(children: Seq[Expression]) extends Expression {
+  require(children.length == 4, "haversine_m(lat1, lon1, lat2, lon2)")
+  override def prettyName: String = "haversine_m"
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) null
+    else CellIndex.haversineM(vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evs = children.map(_.genCode(ctx))
+    val nullCheck = evs.map(e => e.isNull.toString).mkString(" || ")
+    ev.copy(code =
+      code"""
+         |${evs.map(_.code).reduce(_ + _)}
+         |boolean ${ev.isNull} = ${org.apache.spark.sql.catalyst.expressions.codegen.JavaCode.isNullExpression(nullCheck)};
+         |double ${ev.value} = -1.0;
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = graft.cells.CellIndex.haversineM(
+         |    ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
+         |}
+       """.stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
+}
+
+/** Column API + SQL registration for the geo expressions. Registration is
+  * per-session; the Column helpers route through `call_function`, so
+  * [[register]] must run once on the session first. */
+object GeoFunctions {
+  import org.apache.spark.sql.functions.{call_function, lit}
+
+  def cell_of(lat: Column, lon: Column, level: Int): Column =
+    call_function("cell_of", lat, lon, lit(level))
+  def cell_parent(cell: Column, level: Int): Column =
+    call_function("cell_parent", cell, lit(level))
+  def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    call_function("haversine_m", lat1, lon1, lat2, lon2)
+
+  /** Register cell_of / cell_parent / haversine_m for spark.sql(...). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cell_of",
+      es => CellOf(es(0), es(1), es(2)), "built-in")
+    reg.createOrReplaceTempFunction("cell_parent",
+      es => CellParentAt(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("haversine_m",
+      es => HaversineM(es), "built-in")
+  }
+}

@@ -25,12 +25,13 @@ object Flagship {
   /** Geocode an existing pages DataFrame (the deployment shape: scan a
     * partitioned pages table; generation never sits in the hot path). */
   def geocodePages(spark: SparkSession, pages: DataFrame, cfg: SynthWorld.Config): DataFrame = {
+    graft.functions.GeoFunctions.register(spark) // idempotent, per-session
     val parsed = Geocode.geoparse(pages)
     val bs = boundaries(cfg)
     val bld = SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
-    val bucketOf = udf { (cell: Long) => CellIndex.parentAt(cell, BucketLevel) }
     Geocode.assign(spark, parsed, bs, bld, CoverLevel, TileLevel, SnapLevel)
-      .withColumn("bucket", bucketOf(col("cell_id")))
+      // native codegen expression, not a UDF (SURVEY.md §4.3)
+      .withColumn("bucket", graft.functions.GeoFunctions.cell_parent(col("cell_id"), BucketLevel))
   }
 
   def geocode(spark: SparkSession, cfg: SynthWorld.Config): DataFrame =

@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.Streams
+import graft.synth.SynthWorld
+import graft.web.Flagship
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
+    streetsPerCity = 3, buildingsPerStreet = 4, pages = 3000L)
+
+  test("streaming geocode over a file source matches the batch result") {
+    val dir = Flagship.materializePages(spark, cfg)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 4).parquet(dir)
+    val out = Streams.geocodeStream(spark, stream, cfg)
+    val q = out.writeStream.format("memory").queryName("geo_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("geo_out")
+    assert(streamed.count() == cfg.pages)
+    val batch = Flagship.geocodePages(spark, spark.read.parquet(dir), cfg)
+    assert(streamed.select("url", "admin_chain", "cell_id")
+      .exceptAll(batch.select("url", "admin_chain", "cell_id")).count() == 0)
+  }
+
+  test("watermarked tumbling-window ingest metrics produce per-window lang counts") {
+    val dir = Flagship.materializePages(spark, cfg)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.ingestMetrics(stream)
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    // append mode emits only watermark-closed windows; pages span 3000 s →
+    // ~50 one-minute windows, the last ones held back by the watermark
+    val rows = spark.table("ingest_out")
+    assert(rows.count() > 0)
+    val total = rows.agg(sum("n_pages")).collect()(0).getLong(0)
+    assert(total <= cfg.pages)
+    assert(rows.select("lang").distinct().count() == 5)
+  }
+
+  test("flatMapGroupsWithState replays agent motion deterministically") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    // tiny world: boundary 1 ⊃ streets 10, 11 ⊃ buildings 100 (in 10)
+    val parents = Map(10L -> 1L, 11L -> 1L, 100L -> 10L)
+    val input = MemoryStream[Streams.MotionEvent]
+    val q = Streams.agentMotion(input.toDS(), parents)
+      .writeStream.format("memory").queryName("motion_out")
+      .outputMode("append").start()
+    input.addData(
+      Streams.MotionEvent("a1", 1, "enter", 1L),   // into boundary
+      Streams.MotionEvent("a1", 2, "enter", 10L),  // into street 10
+      Streams.MotionEvent("a1", 3, "enter", 100L)) // into building
+    q.processAllAvailable()
+    input.addData(
+      Streams.MotionEvent("a1", 4, "leave", 0L),   // back to street 10
+      Streams.MotionEvent("a1", 5, "move", 11L),   // lateral street move
+      Streams.MotionEvent("a1", 6, "move", 11L))   // no-op (already there)
+    q.processAllAvailable()
+    q.stop()
+    val locs = spark.table("motion_out").orderBy("seq")
+      .collect().map(r => (r.getAs[Long]("seq"), r.getAs[Long]("location")))
+    assert(locs.toSeq == Seq((1L, 1L), (2L, 10L), (3L, 100L), (4L, 10L), (5L, 11L)),
+      s"got ${locs.toSeq}")
+  }
+}
