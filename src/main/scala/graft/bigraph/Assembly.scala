@@ -140,6 +140,33 @@ object Assembly {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
   }
 
+  /** S7 dot sink (bin/botw.ml:44-57): render the place forest as Graphviz
+    * dot — nesting edges solid, junction hyperedges dashed. */
+  def toDot(state: BigraphState, maxNodes: Int = 5000): String = {
+    val places = state.places.orderBy(col("id")).limit(maxNodes).collect()
+    val ids = places.map(_.getLong(0)).toSet
+    val sb = new StringBuilder("digraph bigraph {\n  rankdir=TB;\n")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    for (r <- places) {
+      val shape = r.getString(1) match {
+        case "Boundary" => "box"; case "Street" => "ellipse"
+        case "Building" => "house"; case "Junction" => "point"; case _ => "diamond"
+      }
+      sb.append(s"""  n${r.getLong(0)} [label="${esc(r.getString(1))}:${esc(r.getString(2))}" shape=$shape];\n""")
+    }
+    for (r <- places if r.getLong(3) >= 0 && ids.contains(r.getLong(3)))
+      sb.append(s"  n${r.getLong(3)} -> n${r.getLong(0)};\n")
+    val edges = state.junctionEdges.collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    for ((_, ports) <- edges if ports.length > 1) {
+      val ps = ports.map(_._2).filter(ids.contains).sorted
+      for (Array(a, b) <- ps.sliding(2) if ps.length > 1)
+        sb.append(s"  n$a -> n$b [style=dashed dir=none];\n")
+    }
+    sb.append("}\n")
+    sb.toString
+  }
+
   /** S6: load a bigraph JSON (golden or our own) into a reaction-ready
     * state (bin/botw.ml:18-27 load path). */
   def loadJson(spark: SparkSession, path: String): BigraphState = {

@@ -1,0 +1,76 @@
+package graft.spatial
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.cells.CellIndex
+
+/** Distributed nearest-neighbor snap — the 100 TB path for J9 when the
+  * target side is NOT broadcastable (fact×fact, e.g. pages × planet
+  * buildings). Cell-ring expansion as iterative shuffle joins:
+  *
+  *   round r: unresolved points explode their ring-r cells ⋈ targets
+  *   bucketed by cell → per-point running best; a point finalizes one round
+  *   after its first hit (the next ring can still hold a closer target —
+  *   same guarantee as the broadcast PointCellIndex.nearest).
+  *
+  * Each round is one shuffle on cell id; resolved points leave the loop, so
+  * round cost decays geometrically in dense regions. Hot cells are handled
+  * by the bucketing itself (a target cell's rows spread across its join
+  * partitions via AQE skew splitting).
+  */
+object DistributedKnn {
+
+  /** points: (id, lat, lon); targets: (tid, tlat, tlon).
+    * Returns (id, nearest_tid, nearest_dist_m). Points with no target
+    * within maxRing rings are dropped.
+    *
+    * Correctness note: the one-extra-ring verification assumes the cell
+    * grid is quasi-isotropic in meters at the query latitude (true for
+    * |lat| ≲ 80°; the broadcast PointCellIndex has the same contract). At
+    * extreme latitudes a metrically-closer target can hide beyond ring+1
+    * in the longitudinal direction. */
+  def nearest(spark: SparkSession, points: DataFrame, targets: DataFrame,
+              level: Int, maxRing: Int = 8): DataFrame = {
+    val ringCells = udf { (lat: Double, lon: Double, r: Int) =>
+      CellIndex.ring(CellIndex.cellOf(lat, lon, level), r)
+    }
+    val dist = udf { (lat: Double, lon: Double, tlat: Double, tlon: Double) =>
+      CellIndex.haversineM(lat, lon, tlat, tlon)
+    }
+    val targetsByCell = targets
+      .withColumn("cell", udf((la: Double, lo: Double) => CellIndex.cellOf(la, lo, level))
+        .apply(col("tlat"), col("tlon")))
+      .cache()
+
+    val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
+    var unresolved = points.select("id", "lat", "lon").cache()
+    var best: DataFrame = null // (id, lat, lon, tid, d, hit_ring)
+    var r = 0
+    while (r <= maxRing && !unresolved.isEmpty) {
+      val cands = unresolved
+        .withColumn("cell", explode(ringCells(col("lat"), col("lon"), lit(r))))
+        .join(targetsByCell, "cell")
+        .withColumn("d", dist(col("lat"), col("lon"), col("tlat"), col("tlon")))
+        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"), lit(r).as("hit_ring"))
+      val pool = if (best == null) cands
+        else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
+      val roundBest = pool
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn")
+        .cache()
+      // finalize points whose first hit was at a ring < r (ring r was their
+      // one-extra verification round); on the last ring finalize everything
+      val finalized =
+        if (r == maxRing) roundBest
+        else roundBest.filter(col("hit_ring") < r)
+      best = if (best == null) roundBest
+        else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest)
+      unresolved = unresolved
+        .join(finalized.select("id"), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      r += 1
+    }
+    if (best == null) points.sparkSession.emptyDataFrame
+    else best.select(col("id"), col("tid").as("nearest_tid"), col("d").as("nearest_dist_m"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.spatial.{DistributedKnn, PointCellIndex}
+import graft.synth.SynthWorld
+
+class DistributedKnnSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("distributed ring-join nearest matches the broadcast index exactly") {
+    val cfg = SynthWorld.Config(seed = 7L, gridP = 2, gridC = 2,
+      streetsPerCity = 4, buildingsPerStreet = 5, pages = 0L)
+    val targets = SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
+    // query points: jittered around buildings + a few far-away points
+    val rng = new scala.util.Random(99)
+    val near = targets.take(60).zipWithIndex.map { case ((_, la, lo), i) =>
+      (i.toLong, la + rng.nextDouble() * 0.02 - 0.01, lo + rng.nextDouble() * 0.02 - 0.01)
+    }
+    val far = Seq((1000L, 47.9, 7.9), (1001L, 40.1, 0.1))
+    val points = (near ++ far).toDF("id", "lat", "lon")
+    val targetsDf = targets.toDF("tid", "tlat", "tlon")
+
+    val level = 12
+    val got = DistributedKnn.nearest(spark, points, targetsDf, level, maxRing = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val idx = PointCellIndex.build(targets, level)
+    for ((id, la, lo) <- near ++ far) {
+      val want = idx.nearest(la, lo, maxRing = 64).get
+      assert(got.contains(id), s"point $id unresolved")
+      assert(got(id)._1 == want._1, s"point $id: got ${got(id)}, want $want")
+      assert(math.abs(got(id)._2 - want._2) < 1e-9)
+    }
+  }
+
+  test("points with no target within maxRing are dropped, not mis-assigned") {
+    val points = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
+    val targets = Seq((9L, 45.0, 90.0)).toDF("tid", "tlat", "tlon")
+    val got = DistributedKnn.nearest(spark, points, targets, level = 12, maxRing = 2)
+    assert(got.count() == 0)
+  }
+}
