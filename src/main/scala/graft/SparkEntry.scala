@@ -91,6 +91,16 @@ object SparkEntry {
                                    graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), 8))
                                  .groupBy("cell").agg(count(lit(1)).as("n"))
                              }),
+    "q33_salted_agg"     -> ((s, d) => {
+                               // explicit skew handling: two-phase salted agg
+                               // must equal the plain GROUP BY (the oracle)
+                               val li = Relational.t(s, d, "lineitem")
+                               graft.ops.Skew.saltedAgg(li,
+                                 col("l_returnflag"),
+                                 floor(col("l_quantity") * 100).cast("long"),
+                                 salts = 16, spreadOn = col("l_orderkey"))
+                                 .withColumnRenamed("key", "l_returnflag")
+                             }),
   )
 
   /** Z-order interleave at level 8, spelled out in portable SQL bit math —
@@ -261,5 +271,9 @@ object SparkEntry {
                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
          FROM sess GROUP BY user_id, session_seq""",
     "q32_tile_agg" -> zorderSql,
+    "q33_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total
+         FROM lineitem GROUP BY l_returnflag""",
   )
 }

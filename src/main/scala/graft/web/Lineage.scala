@@ -43,6 +43,27 @@ object Lineage {
       .map(m => m.bucket -> m).toMap
   }
 
+  /** Snapshot ids committed so far (Iceberg-style time travel). */
+  def snapshots(outDir: String): Seq[String] = {
+    val dir = Paths.get(outDir, "_snapshots")
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSeq.sorted
+  }
+
+  /** Read the table as of a snapshot: only the buckets that snapshot
+    * committed (partition pruning does the rest). */
+  def readSnapshot(spark: SparkSession, outDir: String, snapshotId: String): DataFrame = {
+    val p = Paths.get(outDir, "_snapshots", s"$snapshotId.json")
+    require(Files.exists(p), s"unknown snapshot $snapshotId")
+    val txt = Files.readString(p)
+    val buckets = """"buckets"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+      .split(",").filter(_.trim.nonEmpty).map(_.trim.toLong)
+    spark.read.parquet(s"$outDir/data").filter(col("bucket").isin(buckets: _*))
+  }
+
   /** Write `df` (which must carry `bucket` and `url` columns) partitioned by
     * bucket, skipping buckets whose manifests exist. Returns what ran. */
   def run(spark: SparkSession, df: DataFrame, outDir: String,
