@@ -108,6 +108,36 @@ object Hierarchy {
     out.toSeq
   }
 
+  /** R4 `>>` recurse-down + R3 `complete` (query-raw.overpassql:52-89):
+    * expand relations to ALL transitive members. Input rows
+    * (rel_id, member_kind, member_ref); output (root_rel, kind, ref)
+    * including indirect members through relation→relation edges. Iterative
+    * join to fixpoint, localCheckpoint per pass (depth ≤ 2-3 for OSM
+    * boundaries; bounded at maxIters). */
+  def memberClosure(members: org.apache.spark.sql.DataFrame,
+                    maxIters: Int = 8): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    var acc = members.select(col("rel_id").as("root_rel"),
+      col("member_kind").as("kind"), col("member_ref").as("ref"))
+    var frontier = acc.filter(col("kind") === "relation")
+    var i = 0
+    while (i < maxIters && !frontier.isEmpty) {
+      val next = frontier.as("f")
+        .join(members.as("m"), col("f.ref") === col("m.rel_id"))
+        .select(col("f.root_rel").as("root_rel"),
+          col("m.member_kind").as("kind"), col("m.member_ref").as("ref"))
+        .exceptAll(acc)
+        .localCheckpoint(true)
+      if (next.isEmpty) i = maxIters
+      else {
+        acc = acc.unionByName(next).localCheckpoint(true)
+        frontier = next.filter(col("kind") === "relation")
+        i += 1
+      }
+    }
+    acc.distinct()
+  }
+
   /** S3: parallel parse of the per-boundary OSM extracts into one flat
     * element Dataset. At deployment scale this is a partitioned parquet
     * table keyed by boundary; the XML path exists for the reference

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.io.WKBWriter
+import graft.hier.Hierarchy
+import graft.spatial.SpatialOps
+import graft.synth.SynthWorld
+import graft.web.Flagship
+
+class SpatialOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("J8: line-boundary crossing detection via ring cover + JTS refine") {
+    val cfg = SynthWorld.Config(seed = 1L, gridP = 2, gridC = 2)
+    val bs = Flagship.boundaries(cfg) // rectangles over lon [0,8] lat [40,48]
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    def line(id: Long, pts: (Double, Double)*) = // (lon, lat)
+      (id, w.write(gf.createLineString(pts.map(p => new Coordinate(p._1, p._2)).toArray)))
+    val lines = Seq(
+      line(1, (0.5, 40.5), (1.5, 40.5)),  // inside city 100000 (lon 0-2, lat 40-42): no crossing
+      line(2, (1.5, 40.5), (2.5, 40.5)),  // crosses city border at lon=2 (within province 100)
+      line(3, (3.5, 40.5), (4.5, 40.5)),  // crosses province border at lon=4 (and its cities')
+      line(4, (7.5, 47.5), (8.5, 47.5))   // exits the country at lon=8
+    ).toDF("line_id", "wkb")
+    val got = SpatialOps.crossings(spark, lines, bs, level = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+
+    assert(!got.contains(1L), s"interior line must cross nothing: ${got.get(1L)}")
+    // line 2 crosses the border shared by two cities inside province 100
+    assert(got(2L).intersect(Set(100000L, 100001L, 100002L, 100003L)).nonEmpty)
+    assert(!got(2L).contains(1L), "line 2 stays inside the country")
+    // line 3 crosses the province border (lon=4): provinces 100.. and 102..'s edge
+    assert(got(3L).exists(b => b >= 100L && b < 1000L), s"expected a province crossing: ${got(3L)}")
+    // line 4 exits the country: must cross the country boundary (id 1)
+    assert(got(4L).contains(1L), s"expected country crossing: ${got(4L)}")
+  }
+
+  test("R4: member closure expands relations transitively") {
+    val members = Seq(
+      (10L, "relation", 20L), (10L, "way", 100L),
+      (20L, "relation", 30L), (20L, "node", 200L),
+      (30L, "way", 300L),
+      (99L, "node", 999L)).toDF("rel_id", "member_kind", "member_ref")
+    val got = Hierarchy.memberClosure(members)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want10 = Set((10L, "relation", 20L), (10L, "way", 100L),
+      (10L, "relation", 30L), (10L, "node", 200L), (10L, "way", 300L))
+    assert(want10.subsetOf(got), s"missing: ${want10 -- got}")
+    assert(got.contains((20L, "way", 300L)))
+    assert(got.contains((99L, "node", 999L)))
+    assert(!got.exists(t => t._1 == 99L && t._3 != 999L))
+  }
+}
