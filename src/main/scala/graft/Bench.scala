@@ -42,6 +42,39 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // hierarchy build throughput (the reference's own headline: bigraph
+    // nodes/s — BASELINE.md; Berlin ≈ 3.1k/s single-thread)
+    // 1024 cities ≈ 420k bigraph nodes — 1.5× the reference's largest
+    // region (Berlin, 277k nodes in 90.3 s single-thread)
+    val hierCfg = SynthWorld.Config(seed = 42L, gridP = 8, gridC = 4,
+      streetsPerCity = 10, buildingsPerStreet = 8)
+    // JIT/codegen warmup on a small world first (steady-state measurement)
+    locally {
+      val wCfg = SynthWorld.Config(seed = 1L, gridP = 2, gridC = 2,
+        streetsPerCity = 4, buildingsPerStreet = 3)
+      val (wb, we) = SynthWorld.boundaryExtracts(spark, wCfg)
+      graft.hier.PlacePipeline.stats(
+        graft.hier.PlacePipeline.build(spark, we, graft.hier.Hierarchy.metadata(wb)))
+      spark.catalog.clearCache()
+    }
+    val (bounds, elems) = SynthWorld.boundaryExtracts(spark, hierCfg)
+    val metas = graft.hier.Hierarchy.metadata(bounds)
+    // spread the driver-local relation across executors BEFORE the pipeline
+    // (a LocalRelation would otherwise feed stage 1 from one partition)
+    val cached = elems.repartition(spark.sparkContext.defaultParallelism * 2).cache()
+    cached.count() // generation outside timing
+    var nNodes = 0L
+    val tHier = time {
+      val st = graft.hier.PlacePipeline.stats(
+        graft.hier.PlacePipeline.build(spark, cached, metas))
+      nNodes = st.nNodes
+    }
+    results += ("hierarchy_build_synth" -> tHier)
+    System.err.println(f"[bench] hierarchy build: $nNodes nodes in $tHier%.2f s = ${nNodes / tHier}%.0f nodes/s (ref single-thread ≈3.1k/s)")
+    cached.unpersist()
+
+
+    spark.catalog.clearCache() // drop the hierarchy working set
     // warm the JIT/codegen path once at small scale, then time 2M pages
     // from a materialized parquet scan (generation is setup, not workload;
     // min of 2 runs damps host noise)
@@ -54,25 +87,6 @@ object Bench {
     }.min
     results += ("flagship_geocode_2m_pages" -> tFlag)
     System.err.println(f"[bench] flagship: ${flagshipPages / tFlag}%.0f pages geocoded+tiled/s at local[$cpus]")
-
-    // hierarchy build throughput (the reference's own headline: bigraph
-    // nodes/s — BASELINE.md; Berlin ≈ 3.1k/s single-thread)
-    // 1024 cities ≈ 420k bigraph nodes — 1.5× the reference's largest
-    // region (Berlin, 277k nodes in 90.3 s single-thread)
-    val hierCfg = SynthWorld.Config(seed = 42L, gridP = 8, gridC = 4,
-      streetsPerCity = 10, buildingsPerStreet = 8)
-    val (bounds, elems) = SynthWorld.boundaryExtracts(spark, hierCfg)
-    val metas = graft.hier.Hierarchy.metadata(bounds)
-    val cached = elems.cache(); cached.count() // generation outside timing
-    var nNodes = 0L
-    val tHier = time {
-      val st = graft.hier.PlacePipeline.stats(
-        graft.hier.PlacePipeline.build(spark, cached, metas))
-      nNodes = st.nNodes
-    }
-    results += ("hierarchy_build_synth" -> tHier)
-    System.err.println(f"[bench] hierarchy build: $nNodes nodes in $tHier%.2f s = ${nNodes / tHier}%.0f nodes/s (ref single-thread ≈3.1k/s)")
-    cached.unpersist()
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results += (name -> time {

@@ -144,6 +144,7 @@ object PlacePipeline {
       .join(nodeQualifies, Seq("bkey", "nd"), "left_semi")
       .select(col("bkey"), col("street"), col("nd"),
         concat(col("chain"), lit(">"), col("street")).as("street_chain"))
+      .cache() // terminal table, re-read by junctionEdges + stats + assembly
 
     // ── street groups (A1/A2): street names from included highway elements
     // ∪ claimed buildings' addr:street (hierarchy.ml:128-135,169-176) ──
@@ -195,15 +196,13 @@ object PlacePipeline {
     * atoms + junction atoms; edge count = one closed ID link per named
     * entity + one hyperedge per (node, closure). */
   def stats(t: PlaceTables): PlaceStats = {
-    // one pass over each table: persist the shared upstream DAG, and fold
-    // the two junctionEdges counts into a single aggregate
-    val atoms = t.junctionAtoms.cache()
-    val edges = t.junctionEdges.cache()
+    // junctionAtoms is cached inside build(); edges fold both counts into
+    // one aggregate so each table is paid exactly once
     val nB = t.boundaries.count()
     val nS = t.streets.count()
     val nBu = t.buildings.count()
-    val nJ = atoms.count()
-    val eAgg = edges.agg(count(lit(1)), count(col("outer_name"))).collect()(0)
+    val nJ = t.junctionAtoms.count()
+    val eAgg = t.junctionEdges.agg(count(lit(1)), count(col("outer_name"))).collect()(0)
     val nE = eAgg.getLong(0)
     val nOpen = eAgg.getLong(1)
     PlaceStats(nB, nS, nBu, nJ,
