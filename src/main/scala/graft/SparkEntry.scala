@@ -91,6 +91,25 @@ object SparkEntry {
                                    graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), 8))
                                  .groupBy("cell").agg(count(lit(1)).as("n"))
                              }),
+    "q34_crossings"      -> ((s, d) => {
+                               // J8 distance-0 spatial join on the synthetic
+                               // world: which streets-as-linestrings cross an
+                               // admin border (rows-only; geometry has no
+                               // DuckDB analogue here)
+                               import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+                               import s.implicits._
+                               val cfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
+                               val gf = new GeometryFactory()
+                               val w = new org.locationtech.jts.io.WKBWriter()
+                               val lines = (0 until 64).map { i =>
+                                 val y = 40.25 + (i % 16) * 0.5
+                                 (i.toLong, w.write(gf.createLineString(Array(
+                                   new Coordinate(0.25 + (i / 16) * 2.0, y),
+                                   new Coordinate(1.25 + (i / 16) * 2.0, y)))))
+                               }.toDF("line_id", "wkb")
+                               graft.spatial.SpatialOps.crossings(
+                                 s, lines, graft.web.Flagship.boundaries(cfg), level = 11)
+                             }),
     "q33_salted_agg"     -> ((s, d) => {
                                // explicit skew handling: two-phase salted agg
                                // must equal the plain GROUP BY (the oracle)

@@ -31,16 +31,20 @@ object Geocode {
     else s.replaceAll("<[^>]*>", "")
   }
 
-  /** Geoparse: pull the first embedded geo:lat,lon marker out of `text`
-    * (regexp, codegen'd). Pages without a marker keep null coordinates —
-    * a gazetteer join is the fallback (see [[geoparseWithGazetteer]]). */
+  /** Geoparse: pull the first embedded geo:lat,lon marker out of `text`.
+    * ONE regexp evaluation per row (the full match), then cheap string
+    * splits — the naive per-group extraction would re-run the regex for
+    * every group reference in the plan. Pages without a marker keep null
+    * coordinates — a gazetteer join is the fallback
+    * (see [[geoparseWithGazetteer]]). */
   def geoparse(pages: DataFrame): DataFrame =
     pages
-      .withColumn("lat_s", regexp_extract(col("text"), GeoPattern, 1))
-      .withColumn("lon_s", regexp_extract(col("text"), GeoPattern, 2))
-      .withColumn("lat", when(col("lat_s") =!= "", col("lat_s").cast("double")))
-      .withColumn("lon", when(col("lon_s") =!= "", col("lon_s").cast("double")))
-      .drop("lat_s", "lon_s")
+      .withColumn("geo_m", regexp_extract(col("text"), GeoPattern, 0))
+      .withColumn("lat", when(col("geo_m") =!= "",
+        substring_index(substring_index(col("geo_m"), ":", -1), ",", 1).cast("double")))
+      .withColumn("lon", when(col("geo_m") =!= "",
+        substring_index(col("geo_m"), ",", -1).cast("double")))
+      .drop("geo_m")
 
   /** Gazetteer fallback: pages with no coordinate marker are matched by
     * place-name mention against a broadcast gazetteer (name → centroid). */

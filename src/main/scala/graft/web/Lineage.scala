@@ -43,6 +43,25 @@ object Lineage {
       .map(m => m.bucket -> m).toMap
   }
 
+  /** Audit committed data against its manifests: recompute per-bucket row
+    * counts + checksums from the parquet and return buckets that disagree
+    * (corruption / partial writes). Empty = healthy. */
+  def audit(spark: SparkSession, outDir: String): Seq[Long] = {
+    val ms = completed(outDir)
+    if (ms.isEmpty) return Nil
+    val actual = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(xxhash64(url))").as("checksum"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ms.keys.toSeq.sorted.filter { b =>
+      actual.get(b) match {
+        case Some((rows, sum)) => rows != ms(b).rows || sum != ms(b).checksum
+        case None => true
+      }
+    }
+  }
+
   /** Snapshot ids committed so far (Iceberg-style time travel). */
   def snapshots(outDir: String): Seq[String] = {
     val dir = Paths.get(outDir, "_snapshots")

@@ -90,5 +90,13 @@ class GeocodeSpec extends AnyFunSuite {
     val actual = out.groupBy("bucket").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(ms.view.mapValues(_.rows).toMap == actual)
+
+    // audit: healthy store has no mismatches; a tampered manifest is caught
+    assert(Lineage.audit(spark, outDir).isEmpty)
+    val victim = ms.keys.min
+    val mPath = java.nio.file.Paths.get(outDir, "_manifests", s"bucket-$victim.json")
+    java.nio.file.Files.writeString(mPath,
+      java.nio.file.Files.readString(mPath).replaceFirst(""""rows": \d+""", "\"rows\": 1"))
+    assert(Lineage.audit(spark, outDir) == Seq(victim))
   }
 }
