@@ -102,10 +102,12 @@ object SparkEntry {
                                val gf = new GeometryFactory()
                                val w = new org.locationtech.jts.io.WKBWriter()
                                val lines = (0 until 64).map { i =>
-                                 val y = 40.25 + (i % 16) * 0.5
+                                 // each line straddles a city/province/country
+                                 // border at lon = 2, 4, 6 or 8
+                                 val y = 40.25 + (i % 16) * 0.48
+                                 val x0 = 1.5 + (i / 16) * 2.0
                                  (i.toLong, w.write(gf.createLineString(Array(
-                                   new Coordinate(0.25 + (i / 16) * 2.0, y),
-                                   new Coordinate(1.25 + (i / 16) * 2.0, y)))))
+                                   new Coordinate(x0, y), new Coordinate(x0 + 1.0, y)))))
                                }.toDF("line_id", "wkb")
                                graft.spatial.SpatialOps.crossings(
                                  s, lines, graft.web.Flagship.boundaries(cfg), level = 11)
