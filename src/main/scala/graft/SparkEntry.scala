@@ -63,12 +63,12 @@ object SparkEntry {
     "q27_simhash_pairs"  -> ((s, d) => graft.text.NearDup.simhashPairs(s, d, maxHamming = 8)),
     "q28_cosine_top1"    -> ((s, d) => {
                                // argmax by ROUNDED cosine then min id, so the
-                               // tie-break matches the oracle exactly; the true
-                               // winner is always within the exact top-8
+                               // tie-break matches the oracle exactly; k=32
+                               // candidate depth covers rounded-cosine ties
                                import org.apache.spark.sql.expressions.Window
                                val w = Window.partitionBy(col("vec_id"))
                                  .orderBy(col("cos_r4").desc, col("neighbor_id").asc)
-                               graft.sim.Ann.bruteTopK(s, d, k = 8)
+                               graft.sim.Ann.bruteTopK(s, d, k = 32)
                                  .withColumn("cos_r4", round(col("cos_sim"), 4))
                                  .withColumn("rn", row_number().over(w))
                                  .filter(col("rn") === 1)

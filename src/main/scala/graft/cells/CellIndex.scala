@@ -120,7 +120,9 @@ object CellIndex {
   }
 
   /** All cells at Chebyshev grid distance exactly k (the k-th ring).
-    * Lon wraps around the antimeridian; rows off the poles are dropped. */
+    * Lon wraps around the antimeridian; rows off the poles are dropped.
+    * At coarse levels where the ring is wider than the grid (2k+1 ≥ 2^l),
+    * wrapped columns are deduplicated. */
   def ring(cell: Long, k: Int): Array[Long] = {
     if (k == 0) return Array(cell)
     val l = level(cell)
@@ -142,7 +144,19 @@ object CellIndex {
       }
       di += 1
     }
-    out.toArray
+    if (2L * k + 1 >= n) out.distinct.toArray else out.toArray
+  }
+
+  /** Meters spanned by one cell at `level` in the narrower axis at `lat` —
+    * the per-ring lower bound used by kNN termination: any target in ring
+    * r+1 or beyond is at least r * minCellExtentM away (with slack for the
+    * haversine vs planar difference). */
+  def minCellExtentM(lat: Double, l: Int): Double = {
+    val latDeg = 180.0 / (1L << l)
+    val lonDeg = 360.0 / (1L << l)
+    val latM = latDeg * 110574.0
+    val lonM = lonDeg * 111320.0 * math.cos(math.toRadians(math.min(89.99, math.abs(lat) + latDeg)))
+    0.95 * math.min(latM, math.max(1e-9, lonM))
   }
 
   /** All cells at Chebyshev grid distance ≤ k (the k-disk). */

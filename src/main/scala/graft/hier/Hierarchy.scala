@@ -59,12 +59,16 @@ object Hierarchy {
           OsmXml.parseFile(path)
             .filter(e => e.kind == "relation" && e.tags.contains("admin_level"))
             .flatMap { e =>
-              val lvl = e.tags("admin_level").toInt
-              if (lvl > plvl) {
-                val name = e.tags.getOrElse("name",
-                  throw new IllegalStateException(s"relation ${e.id} has admin_level but no name"))
-                Some((bkey(lvl, e.id, name), lvl, e.id, name, pk, plvl))
-              } else None
+              // OSM data has non-integer admin_level values ("2;4") — skip
+              // them instead of failing the stage (the reference would
+              // raise; our posture is the errors-table one, SURVEY.md §2.2)
+              e.tags("admin_level").toIntOption match {
+                case Some(lvl) if lvl > plvl =>
+                  val name = e.tags.getOrElse("name",
+                    throw new IllegalStateException(s"relation ${e.id} has admin_level but no name"))
+                  Some((bkey(lvl, e.id, name), lvl, e.id, name, pk, plvl))
+                case _ => None
+              }
             }
         }
         .collect()

@@ -119,15 +119,29 @@ object Reactions {
     }
   }
 
-  /** B7 fix: apply `rule` until no occurrence (checkpointed per step,
-    * bounded; builder.mli:124-136). Returns (state, stepsApplied). */
+  /** Truncate a DataFrame's logical plan without carrying stale constraints
+    * (plain localCheckpoint's LogicalRDD keeps constraints that break later
+    * unions — observed on Spark 4.1). */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema).cache()
+
+  /** B7 fix: apply `rule` until no occurrence (bounded;
+    * builder.mli:124-136). Every 16 steps the stacked point-update
+    * projections are collapsed by materializing the plan — without this the
+    * plan nests one `when` per step and analysis cost grows unboundedly.
+    * Returns (state, stepsApplied). */
   def fix(s0: BigraphState, rule: BigraphState => Option[BigraphState],
           maxSteps: Int = 1000): (BigraphState, Int) = {
     var s = s0
     var n = 0
     var more = true
     while (more && n < maxSteps) rule(s) match {
-      case Some(next) => s = next; n += 1
+      case Some(next) =>
+        s = if ((n + 1) % 16 == 0)
+          next.copy(places = truncateLineage(next.places),
+            contacts = truncateLineage(next.contacts))
+        else next
+        n += 1
       case None => more = false
     }
     (s, n)

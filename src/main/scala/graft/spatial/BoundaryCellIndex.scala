@@ -112,37 +112,46 @@ class PointCellIndex(
     val buckets: Map[Long, Array[(Long, Double, Double)]]) // cell → [(id, lat, lon)]
     extends Serializable {
 
-  /** k nearest point ids by great-circle distance. */
-  def knn(lat: Double, lon: Double, k: Int, maxRing: Int = 8): Seq[(Long, Double)] = {
+  /** k nearest point ids by great-circle distance. Rings expand until the
+    * geometric lower bound of all remaining rings (r × minCellExtentM at
+    * this latitude) exceeds the current k-th best distance — exact
+    * termination even for anisotropic cells and cell-corner queries. */
+  def knn(lat: Double, lon: Double, k: Int, maxRing: Int = 64): Seq[(Long, Double)] = {
     if (k == 1) return nearest(lat, lon, maxRing).toSeq
     val center = CellIndex.cellOf(lat, lon, level)
+    val minExtent = CellIndex.minCellExtentM(lat, level)
     val found = mutable.ArrayBuffer.empty[(Long, Double)]
     var r = 0
-    var stopAt = -1
-    while (r <= maxRing && (stopAt < 0 || r <= stopAt)) {
+    var done = false
+    while (r <= maxRing && !done) {
       CellIndex.ring(center, r).foreach { cell =>
         buckets.get(cell).foreach(_.foreach { case (id, plat, plon) =>
           found += ((id, CellIndex.haversineM(lat, lon, plat, plon)))
         })
       }
-      // one extra ring after the k-th hit: a nearer point can sit in the
-      // next ring (cell-grid distance underestimates metric distance)
-      if (stopAt < 0 && found.size >= k) stopAt = r + 1
+      if (found.size >= k) {
+        val kth = found.map(_._2).sorted.apply(k - 1)
+        if (kth <= r * minExtent) done = true
+      }
       r += 1
     }
-    found.sortBy { case (id, d) => (d, id) }.take(k).toSeq
+    // wrap at coarse levels can enumerate a cell in two rings → dedupe
+    found.distinct.sortBy { case (id, d) => (d, id) }.take(k).toSeq
   }
 
-  /** Allocation-free k=1 fast path — the flagship hot loop. */
-  def nearest(lat: Double, lon: Double, maxRing: Int = 8): Option[(Long, Double)] = {
+  /** Allocation-free k=1 fast path — the flagship hot loop. Same
+    * lower-bound termination as [[knn]]. */
+  def nearest(lat: Double, lon: Double, maxRing: Int = 64): Option[(Long, Double)] = {
     val n = 1L << level
     val center = CellIndex.cellOf(lat, lon, level)
     val (ci, cj) = CellIndex.toIJ(center)
+    val minExtent = CellIndex.minCellExtentM(lat, level)
     var bestId = -1L
     var bestD = Double.MaxValue
     var r = 0
-    var stopAt = -1
-    while (r <= maxRing && (stopAt < 0 || r <= stopAt)) {
+    var done = false
+    while (r <= maxRing && !done) {
+      // wrapped duplicate cells at coarse levels are harmless for a min
       var di = -r
       while (di <= r) {
         var dj = -r
@@ -168,7 +177,7 @@ class PointCellIndex(
         }
         di += 1
       }
-      if (stopAt < 0 && bestId >= 0) stopAt = r + 1
+      if (bestId >= 0 && bestD <= r * minExtent) done = true
       r += 1
     }
     if (bestId < 0) None else Some((bestId, bestD))

@@ -25,13 +25,12 @@ object DistributedKnn {
     * Returns (id, nearest_tid, nearest_dist_m). Points with no target
     * within maxRing rings are dropped.
     *
-    * Correctness note: the one-extra-ring verification assumes the cell
-    * grid is quasi-isotropic in meters at the query latitude (true for
-    * |lat| ≲ 80°; the broadcast PointCellIndex has the same contract). At
-    * extreme latitudes a metrically-closer target can hide beyond ring+1
-    * in the longitudinal direction. */
+    * Termination is exact: a point finalizes once its best distance is
+    * within the geometric lower bound of all unscanned rings
+    * (r × minCellExtentM at the point's latitude — anisotropy-safe, same
+    * rule as the broadcast PointCellIndex). */
   def nearest(spark: SparkSession, points: DataFrame, targets: DataFrame,
-              level: Int, maxRing: Int = 8): DataFrame = {
+              level: Int, maxRing: Int = 64): DataFrame = {
     val ringCells = udf { (lat: Double, lon: Double, r: Int) =>
       CellIndex.ring(CellIndex.cellOf(lat, lon, level), r)
     }
@@ -55,14 +54,15 @@ object DistributedKnn {
         .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"), lit(r).as("hit_ring"))
       val pool = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
+      val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
       val roundBest = pool
         .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn")
         .cache()
-      // finalize points whose first hit was at a ring < r (ring r was their
-      // one-extra verification round); on the last ring finalize everything
+      // finalize when the remaining-rings lower bound exceeds the best
+      // distance; on the last ring finalize everything that has a candidate
       val finalized =
         if (r == maxRing) roundBest
-        else roundBest.filter(col("hit_ring") < r)
+        else roundBest.filter(col("d") <= lit(r) * minExtent(col("lat")))
       best = if (best == null) roundBest
         else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest)
       unresolved = unresolved
@@ -70,7 +70,10 @@ object DistributedKnn {
         .localCheckpoint(true)
       r += 1
     }
-    if (best == null) points.sparkSession.emptyDataFrame
+    if (best == null)
+      points.limit(0).select(col("id"),
+        lit(null).cast("long").as("nearest_tid"),
+        lit(null).cast("double").as("nearest_dist_m"))
     else best.select(col("id"), col("tid").as("nearest_tid"), col("d").as("nearest_dist_m"))
   }
 }

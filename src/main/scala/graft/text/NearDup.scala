@@ -113,13 +113,21 @@ object NearDup {
   }
 
   /** SimHash near-dup pairs within Hamming distance ≤ maxHamming, using
-    * 4×16-bit band exact-match prefilter (any pair within distance 3 shares
-    * at least one exact 16-bit band) then exact popcount verify. */
+    * (maxHamming+1)-band exact-match prefilter — by pigeonhole any pair
+    * within distance maxHamming shares at least one identical band — then
+    * exact popcount verify. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    require(nBands <= 64, "maxHamming too large for a 64-bit simhash")
+    // band b covers bits [start_b, start_b + width_b); widths differ by ≤1
+    val starts = (0 to nBands).map(b => b * 64 / nBands)
     val sh = simhash(docs(spark, dir))
     val banded = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xffffL))): _*)))
+      posexplode(array((0 until nBands).map { b =>
+        val width = starts(b + 1) - starts(b)
+        shiftrightunsigned(col("simhash"), starts(b))
+          .bitwiseAND(lit((1L << width) - 1))
+      }: _*)))
       .toDF("doc_id", "simhash", "band", "bucket")
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -52,12 +52,17 @@ object Geocode {
     val parsed = geoparse(pages)
     val withCoords = parsed.filter(col("lat").isNotNull)
     val without = parsed.filter(col("lat").isNull).drop("lat", "lon")
+    // deterministic choice among multiple mentioned places: min by place
+    // name (first() after a shuffle would be run-dependent)
     val matched = without
       .join(broadcast(gazetteer.select(col("place_name"), col("g_lat"), col("g_lon"))),
         col("text").contains(col("place_name")), "left")
       .groupBy(without.columns.map(col): _*)
-      .agg(first(col("g_lat"), ignoreNulls = true).as("lat"),
-           first(col("g_lon"), ignoreNulls = true).as("lon"))
+      .agg(min(when(col("place_name").isNotNull,
+        struct(col("place_name"), col("g_lat"), col("g_lon")))).as("g"))
+      .withColumn("lat", col("g.g_lat"))
+      .withColumn("lon", col("g.g_lon"))
+      .drop("g")
     withCoords.unionByName(matched)
   }
 
@@ -104,7 +109,13 @@ object Geocode {
   def assign(spark: SparkSession, parsed: DataFrame,
              boundaries: Seq[SpatialBoundary], buildings: Seq[(Long, Double, Double)],
              coverLevel: Int, tileLevel: Int, snapLevel: Int): DataFrame = {
-    val key = (spark.sparkContext.applicationId + "/" + boundaries.size + "/" + buildings.size,
+    // content-derived cache key: equal-sized but different dimension sets
+    // must NOT collide (ids + geometry bytes + points all hashed)
+    val bHash = boundaries.foldLeft(17L)((h, b) =>
+      h * 31 + b.id * 7 + b.level + java.util.Arrays.hashCode(b.wkb))
+    val pHash = buildings.foldLeft(19L)((h, p) =>
+      h * 31 + p._1 * 7 + java.lang.Double.hashCode(p._2) + java.lang.Double.hashCode(p._3))
+    val key = (spark.sparkContext.applicationId + "/" + bHash + "/" + pHash,
       coverLevel, tileLevel, snapLevel)
     val (bIdx, pIdx) = indexCache.computeIfAbsent(key, _ =>
       (spark.sparkContext.broadcast(BoundaryCellIndex.build(boundaries, coverLevel)),

@@ -84,38 +84,42 @@ object Lineage {
   }
 
   /** Write `df` (which must carry `bucket` and `url` columns) partitioned by
-    * bucket, skipping buckets whose manifests exist. Returns what ran. */
+    * bucket, skipping buckets whose manifests exist. Each pending bucket is
+    * written AND manifested individually, so a kill mid-run loses only the
+    * in-flight bucket — the resume unit really is the bucket, not the run.
+    * Lineage stats come from reading back the written files (validates what
+    * is on disk); the input plan is computed once (cached). */
   def run(spark: SparkSession, df: DataFrame, outDir: String,
           snapshotId: String): RunResult = {
     val done = completed(outDir)
-    val allBuckets = df.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    val work = df.cache()
+    val allBuckets = work.select("bucket").distinct().collect().map(_.getLong(0)).sorted
     val pending = allBuckets.filterNot(done.contains)
     val skipped = allBuckets.filter(done.contains)
+    val ms = scala.collection.mutable.ArrayBuffer.empty[Manifest]
     if (pending.nonEmpty) {
-      val work = df.filter(col("bucket").isin(pending: _*))
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      work.write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/data")
-      // per-bucket lineage: row count + order-independent checksum
-      // bit_xor: order-independent and overflow-free (ANSI mode is on)
-      val stats = work.groupBy(col("bucket"))
-        .agg(count(lit(1)).as("rows"),
-             expr("bit_xor(xxhash64(url))").as("checksum"))
-        .collect()
       Files.createDirectories(manifestDir(outDir))
-      val now = System.currentTimeMillis()
-      val ms = stats.map { r =>
-        val m = Manifest(r.getLong(0), r.getLong(1), r.getLong(2), snapshotId, now)
-        Files.writeString(manifestDir(outDir).resolve(s"bucket-${m.bucket}.json"),
+      for (b <- pending) {
+        work.filter(col("bucket") === b).drop("bucket")
+          .write.mode("overwrite").parquet(s"$outDir/data/bucket=$b")
+        // lineage from the files just written (bit_xor: order-independent
+        // and overflow-free under ANSI mode)
+        val r = spark.read.parquet(s"$outDir/data/bucket=$b")
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(url))")).collect()(0)
+        val m = Manifest(b, r.getLong(0), r.getLong(1), snapshotId,
+          System.currentTimeMillis())
+        Files.writeString(manifestDir(outDir).resolve(s"bucket-$b.json"),
           s"""{"bucket": ${m.bucket}, "rows": ${m.rows}, "checksum": ${m.checksum}, """ +
             s""""snapshotId": "${m.snapshotId}", "completedAtMs": ${m.completedAtMs}}""")
-        m
+        ms += m
       }
-      val snapDir = Paths.get(outDir, "_snapshots")
-      Files.createDirectories(snapDir)
-      Files.writeString(snapDir.resolve(s"$snapshotId.json"),
-        s"""{"snapshotId": "$snapshotId", "completedAtMs": $now, """ +
-          s""""buckets": [${(skipped ++ pending).sorted.mkString(",")}]}""")
-      RunResult(pending.toSeq, skipped.toSeq, ms.toSeq)
-    } else RunResult(Nil, skipped.toSeq, Nil)
+    }
+    work.unpersist()
+    val snapDir = Paths.get(outDir, "_snapshots")
+    Files.createDirectories(snapDir)
+    Files.writeString(snapDir.resolve(s"$snapshotId.json"),
+      s"""{"snapshotId": "$snapshotId", "completedAtMs": ${System.currentTimeMillis()}, """ +
+        s""""buckets": [${(skipped ++ pending).sorted.mkString(",")}]}""")
+    RunResult(pending.toSeq, skipped.toSeq, ms.toSeq)
   }
 }
