@@ -64,17 +64,20 @@ object SparkEntry {
     "q28_cosine_top1"    -> ((s, d) => {
                                // argmax by ROUNDED cosine then min id, so the
                                // tie-break matches the oracle exactly; k=32
-                               // candidate depth covers rounded-cosine ties
+                               // candidate depth covers rounded-cosine ties.
+                               // exactTopK is the distributed all-pairs path
+                               // (no driver collect; bruteTopK stays a
+                               // test-only oracle)
                                import org.apache.spark.sql.expressions.Window
                                val w = Window.partitionBy(col("vec_id"))
                                  .orderBy(col("cos_r4").desc, col("neighbor_id").asc)
-                               graft.sim.Ann.bruteTopK(s, d, k = 32)
+                               graft.sim.Ann.exactTopK(s, d, k = 32)
                                  .withColumn("cos_r4", round(col("cos_sim"), 4))
                                  .withColumn("rn", row_number().over(w))
                                  .filter(col("rn") === 1)
                                  .select(col("vec_id"), col("neighbor_id"), col("cos_r4"))
                              }),
-    "q29_ann_lsh_topk"   -> ((s, d) => graft.sim.Ann.lshTopK(s, d, k = 3)
+    "q29_ann_ivf_topk"   -> ((s, d) => graft.sim.Ann.ivfTopK(s, d, k = 3)
                                .select(col("vec_id"), col("rank"), col("neighbor_id"))),
     "q30_media_features" -> ((s, d) => graft.multimodal.MultiModal.featureStats(s, 2000L)),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),

@@ -56,15 +56,47 @@ class NearDupAnnSpec extends AnyFunSuite {
     assert(top1(0L) == 1L && top1(1L) == 0L && top1(2L) == 3L && top1(3L) == 2L)
   }
 
-  test("LSH ANN achieves useful recall@3 against brute force on sf0.001") {
+  test("IVF ANN achieves recall@3 >= 0.9 against brute force on sf0.001 at default params") {
     val brute = Ann.bruteTopK(spark, sf, k = 3)
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Ann.lshTopK(spark, sf, k = 3, planes = 16, bands = 8)
+    val ivf = Ann.ivfTopK(spark, sf, k = 3) // c=64, nprobe=32
       .select("vec_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.5, f"LSH recall@3 too low: $recall%.3f")
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, f"IVF recall@3 too low: $recall%.3f")
+  }
+
+  test("hyperplane LSH (64 planes / 4 bands) recalls planted high-similarity pairs") {
+    // LSH banding is a THRESHOLD structure: 16-bit buckets recall cos≈0.999
+    // pairs w.p. >0.999 while unrelated vectors collide w.p. ~2^-16/band
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshann").toString
+    val base = (0L until 200L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        ((graft.synth.SynthWorld.mix(i * 131 + d) % 1000L) / 1000.0f)), 0)
+    }
+    val near = base.take(3).map { case (i, v, _) =>
+      val w = v.clone(); w(0) = w(0) + 0.001f // cos ≈ 0.9999
+      (i + 1000L, w, 1)
+    }
+    (base ++ near).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top1 = Ann.lshTopK(spark, dir, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    for (i <- 0L until 3L) {
+      assert(top1.get(i + 1000L).contains(i), s"planted twin of ${i + 1000} missed")
+      assert(top1.get(i).contains(i + 1000L), s"planted twin of $i missed")
+    }
+  }
+
+  test("distributed exactTopK matches the driver-broadcast brute oracle") {
+    val brute = Ann.bruteTopK(spark, sf, k = 3)
+      .select("vec_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val dist = Ann.exactTopK(spark, sf, k = 3)
+      .select("vec_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(dist == brute)
   }
 
   test("multimodal feature extraction preserves schema and batch shape") {
