@@ -97,8 +97,9 @@ object SparkEntry {
     "q34_crossings"      -> ((s, d) => {
                                // J8 distance-0 spatial join on the synthetic
                                // world: which streets-as-linestrings cross an
-                               // admin border (rows-only; geometry has no
-                               // DuckDB analogue here)
+                               // admin border. The rect world is closed-form,
+                               // so the oracle rebuilds the crossing predicate
+                               // in pure SQL over generate_series
                                import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
                                import s.implicits._
                                val cfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
@@ -125,7 +126,56 @@ object SparkEntry {
                                  salts = 16, spreadOn = col("l_orderkey"))
                                  .withColumnRenamed("key", "l_returnflag")
                              }),
+    "q35_pip_containment" -> ((s, d) => {
+                               // J7 north-star containment: deterministic
+                               // customer-derived points flow through the REAL
+                               // spatial path (cell-cover prejoin + JTS PIP in
+                               // Geocode.assign); the oracle computes deepest
+                               // containment closed-form over the rect world
+                               val pts = synthPoints(s, d)
+                                 .withColumn("url", col("point_id").cast("string"))
+                                 .withColumn("warc_ts",
+                                   lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+                                 .withColumn("lang", lit("en"))
+                               val cfg = spatialCfg
+                               val bld = graft.synth.SynthWorld.buildings(cfg)
+                                 .map(b => (b.id, b.lat, b.lon))
+                               graft.web.Geocode.assign(s, pts,
+                                   graft.web.Flagship.boundaries(cfg), bld,
+                                   coverLevel = 10, tileLevel = 14, snapLevel = 12)
+                                 .select(col("url").cast("long").as("point_id"),
+                                   col("boundary_id"), col("admin_level"), col("admin_chain"))
+                             }),
+    "q36_knn_snap"       -> ((s, d) => {
+                               // J9 kNN snap through the DISTRIBUTED ring-join
+                               // path (fact×fact shape); oracle = brute-force
+                               // haversine argmin over the closed-form
+                               // building grid
+                               import s.implicits._
+                               val cfg = spatialCfg
+                               val targets = graft.synth.SynthWorld.buildings(cfg)
+                                 .map(b => (b.id, b.lat, b.lon))
+                                 .toDF("tid", "tlat", "tlon")
+                               graft.spatial.DistributedKnn.nearest(s,
+                                   synthPoints(s, d).withColumnRenamed("point_id", "id"),
+                                   targets, level = 12)
+                                 .select(col("id").as("point_id"), col("nearest_tid"),
+                                   floor(col("nearest_dist_m")).cast("long").as("dist_m"))
+                             }),
   )
+
+  /** The closed-form rect world every spatial oracle is checked against. */
+  private def spatialCfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
+
+  /** Deterministic in-domain points from customer keys: milli-degree lattice
+    * offset by 0.0005°, so points are never on a boundary edge and never on
+    * a building-grid perpendicular bisector (both engines compute identical
+    * doubles: integer mod, one correctly-rounded division, two adds). */
+  private def synthPoints(s: SparkSession, d: String): DataFrame =
+    Relational.t(s, d, "customer").select(
+      col("c_custkey").as("point_id"),
+      (lit(40.0) + (col("c_custkey") * 13 % 7919) / 1000.0 + 0.0005).as("lat"),
+      ((col("c_custkey") * 31 % 7919) / 1000.0 + 0.0005).as("lon"))
 
   /** Z-order interleave at level 8, spelled out in portable SQL bit math —
     * mirrors CellIndex.fromIJ exactly. */
@@ -299,5 +349,76 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total
          FROM lineitem GROUP BY l_returnflag""",
+    "q34_crossings" ->
+      """WITH lines AS (
+           SELECT i AS line_id, 40.25 + (i % 16) * 0.48 AS y,
+                  1.5 + (i // 16) * 2.0 AS xa
+           FROM generate_series(0,63) t(i)
+         ), rects AS (
+           SELECT CAST(1 AS BIGINT) AS boundary_id, 0.0 AS x0, 40.0 AS y0, 8.0 AS x1, 48.0 AS y1
+           UNION ALL
+           SELECT 100+pi*2+pj, pi*4.0, 40+pj*4.0, pi*4.0+4, 40+pj*4.0+4
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj)
+           UNION ALL
+           SELECT (100+pi*2+pj)*1000 + ci*2+cj, pi*4.0+ci*2, 40+pj*4.0+cj*2,
+                  pi*4.0+ci*2+2, 40+pj*4.0+cj*2+2
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         )
+         SELECT l.line_id, r.boundary_id
+         FROM lines l, rects r
+         WHERE l.y > r.y0 AND l.y < r.y1
+           AND ((r.x0 >= l.xa AND r.x0 <= l.xa+1.0) OR (r.x1 >= l.xa AND r.x1 <= l.xa+1.0))""",
+    "q35_pip_containment" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+                  40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), cell AS (
+           SELECT point_id,
+                  CAST(FLOOR(lon / 4) AS BIGINT) AS pi,
+                  CAST(FLOOR((lat - 40) / 4) AS BIGINT) AS pj,
+                  CAST(FLOOR((lon - FLOOR(lon / 4) * 4) / 2) AS BIGINT) AS ci,
+                  CAST(FLOOR((lat - 40 - FLOOR((lat - 40) / 4) * 4) / 2) AS BIGINT) AS cj
+           FROM pts
+         )
+         SELECT point_id,
+                (100 + pi*2 + pj) * 1000 + ci*2 + cj AS boundary_id,
+                8 AS admin_level,
+                concat('Synthia>Province-', pi, '-', pj,
+                       '>City-', 100 + pi*2 + pj, '-', ci, '-', cj) AS admin_chain
+         FROM cell""",
+    "q36_knn_snap" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+                  40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), cities AS (
+           SELECT (100+pi*2+pj)*1000 + ci*2 + cj AS cid,
+                  pi*4.0 + ci*2 AS x0, 40 + pj*4.0 + cj*2 AS y0
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         ), bld AS (
+           SELECT cid*10000 + si*100 + bi AS bid,
+                  y0 + 2.0 * (si + 0.5) / 10 AS blat,
+                  x0 + 2.0 * (bi + 0.5) / 8 AS blon
+           FROM cities, generate_series(0,9) s(si), generate_series(0,7) t(bi)
+         ), d AS (
+           SELECT p.point_id, b.bid,
+                  2 * 6371008.8 * asin(least(1.0, sqrt(
+                    sin((radians(b.blat) - radians(p.lat)) / 2)
+                      * sin((radians(b.blat) - radians(p.lat)) / 2)
+                    + cos(radians(p.lat)) * cos(radians(b.blat))
+                      * sin(radians(b.blon - p.lon) / 2)
+                      * sin(radians(b.blon - p.lon) / 2)))) AS dist
+           FROM pts p, bld b
+         )
+         SELECT point_id, bid AS nearest_tid, CAST(FLOOR(dist) AS BIGINT) AS dist_m
+         FROM (SELECT point_id, bid, dist,
+                      row_number() OVER (PARTITION BY point_id
+                                         ORDER BY dist ASC, bid ASC) AS rn
+               FROM d) WHERE rn = 1""",
   )
 }
