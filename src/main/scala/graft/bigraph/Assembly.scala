@@ -2,7 +2,6 @@ package graft.bigraph
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.hier.PlaceTables
 import graft.react.BigraphState
 
@@ -36,12 +35,10 @@ object Assembly {
         concat(lit("S|"), col("bkey"), lit("|"), col("street")))
         .otherwise(concat(lit("B|"), col("bkey"))).as("parent_uid"),
       lit(null).cast("string").as("edge_key"))
-    // junction atoms need their hyperedge key: recompute closure the same
-    // way junctionEdges did, via a join back on (nd, street_chain)
-    val atomEdges = t.junctionEdges
-      .select(col("nd"), col("closure"), explode(col("port_chains")).as("street_chain"))
+    // junction atoms carry their closure from the build — the hyperedge key
+    // is the atom's own construction key (display chains can repeat, so a
+    // re-join via (nd, street_chain) would duplicate atoms)
     val ju = t.junctionAtoms
-      .join(atomEdges, Seq("nd", "street_chain"))
       .select(
         concat(lit("J|"), col("bkey"), lit("|"), col("street"), lit("|"), col("nd")).as("uid"),
         lit("Junction").as("ctrl"),
@@ -49,8 +46,7 @@ object Assembly {
         concat(lit("S|"), col("bkey"), lit("|"), col("street")).as("parent_uid"),
         concat(col("nd"), lit("@"), col("closure")).as("edge_key"))
 
-    val all = bo.unionByName(st).unionByName(bu).unionByName(ju)
-      .withColumn("id", row_number().over(Window.orderBy(col("uid"))).cast("long") - 1)
+    val all = numberByUid(spark, bo.unionByName(st).unionByName(bu).unionByName(ju))
       .cache()
     val withParent = all.as("c")
       .join(all.select(col("uid").as("p_uid"), col("id").as("p_id")).as("p"),
@@ -62,6 +58,21 @@ object Assembly {
       .select(col("edge_key"), col("id").as("place_id")).cache()
     import spark.implicits._
     BigraphState(places, edges, Seq.empty[(Long, Long)].toDF("agent_a", "agent_b"))
+  }
+
+  /** Canonical dense numbering by uid WITHOUT a global single-partition
+    * window: range-repartition on uid (globally ordered partitions), sort
+    * within each, then zipWithIndex — numbering stays distributed at any
+    * node count (SURVEY.md §7.5; the one sanctioned RDD use: per-partition
+    * index assignment). */
+  private def numberByUid(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val sorted = df.repartitionByRange(col("uid")).sortWithinPartitions("uid")
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+ StructField("id", LongType, nullable = false))
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      schema)
   }
 
   /** S5: serialize to the reference's bigraph JSON schema

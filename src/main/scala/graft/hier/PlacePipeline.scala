@@ -140,10 +140,26 @@ object PlacePipeline {
       .join(outerNodes.withColumn("is_outer", lit(true)), Seq("bkey", "nd"), "left")
       .filter(col("n_streets") > 1 || col("is_outer"))
       .select("bkey", "nd")
+    // closure = first self-or-ancestor boundary whose outer-name set misses
+    // the node (builder.ml:216-226's per-boundary close) — computed PER ATOM
+    // at build time with a codegen'd higher-order filter (no UDF), so both
+    // the hyperedge grouping and the assembly's edge keys read it directly
+    // (re-deriving it later via a display-chain join would double-count
+    // atoms whose name chains repeat)
+    val outerByNode = outerNodes.groupBy(col("nd"))
+      .agg(collect_set(col("bkey")).as("outer_bkeys"))
     val junctionAtoms = wayNodes
       .join(nodeQualifies, Seq("bkey", "nd"), "left_semi")
+      .join(metaDf.select(col("bkey"), col("path")), Seq("bkey"))
+      .join(outerByNode, Seq("nd"), "left")
+      .withColumn("closure",
+        coalesce(
+          try_element_at(filter(col("path"),
+            a => !array_contains(coalesce(col("outer_bkeys"), array()), a)), lit(1)),
+          lit("OPEN")))
       .select(col("bkey"), col("street"), col("nd"),
-        concat(col("chain"), lit(">"), col("street")).as("street_chain"))
+        concat(col("chain"), lit(">"), col("street")).as("street_chain"),
+        col("closure"))
       .cache() // terminal table, re-read by junctionEdges + stats + assembly
 
     // ── street groups (A1/A2): street names from included highway elements
@@ -169,19 +185,9 @@ object PlacePipeline {
       col("bkey"), col("bname_").as("name"), col("parent_bkey"),
       col("chain"), col("level"), col("post_idx"))
 
-    // ── junction hyperedges: merge atoms per (node, closure boundary) —
-    // closure = first self-or-ancestor whose outer-name set misses the node
-    // (builder.ml:216-226's per-boundary close, SURVEY.md §1.1) ──
-    val outerByNode = outerNodes.groupBy(col("nd"))
-      .agg(collect_set(col("bkey")).as("outer_bkeys"))
-    val closureOf = udf { (path: Seq[String], outer: Seq[String]) =>
-      val o = if (outer == null) Set.empty[String] else outer.toSet
-      path.find(a => !o.contains(a)).getOrElse("OPEN")
-    }
+    // ── junction hyperedges: merge atoms per (node, closure boundary)
+    // (SURVEY.md §1.1) — closure already sits on each atom ──
     val junctionEdges = junctionAtoms
-      .join(metaDf.select(col("bkey"), col("path")), Seq("bkey"))
-      .join(outerByNode, Seq("nd"), "left")
-      .withColumn("closure", closureOf(col("path"), col("outer_bkeys")))
       .groupBy(col("nd"), col("closure"))
       .agg(sort_array(collect_list(col("street_chain"))).as("port_chains"),
         count(lit(1)).as("n_ports"))

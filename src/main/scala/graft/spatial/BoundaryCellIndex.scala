@@ -52,6 +52,9 @@ class BoundaryCellIndex(
 
   @inline private def foreachContaining(lat: Double, lon: Double)(f: SpatialBoundary => Unit): Unit = {
     val leaf = CellIndex.cellOf(lat, lon, CellIndex.MaxLevel)
+    // one JTS Point per call, built lazily on the first partial cell — this
+    // loop runs once per page at 10^12 scale, so no per-candidate allocation
+    var pt: org.locationtech.jts.geom.Point = null
     var li = 0
     while (li < coverLevels.length) {
       val cands = index.getOrElse(CellIndex.parentAt(leaf, coverLevels(li)), null)
@@ -59,8 +62,10 @@ class BoundaryCellIndex(
         var i = 0
         while (i < cands.length) {
           val (bid, full) = cands(i)
-          if (full || prep(bid).contains(gf.createPoint(new Coordinate(lon, lat))))
-            f(boundaries(bid))
+          if (full || {
+            if (pt == null) pt = gf.createPoint(new Coordinate(lon, lat))
+            prep(bid).contains(pt)
+          }) f(boundaries(bid))
           i += 1
         }
       }

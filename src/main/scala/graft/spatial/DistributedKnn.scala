@@ -63,8 +63,11 @@ object DistributedKnn {
       val finalized =
         if (r == maxRing) roundBest
         else roundBest.filter(col("d") <= lit(r) * minExtent(col("lat")))
-      best = if (best == null) roundBest
-        else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest)
+      // checkpoint `best` too: it accumulates a union per ring, and sparse
+      // worlds (many empty rings) would otherwise blow up analysis time
+      best = (if (best == null) roundBest
+        else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest))
+        .localCheckpoint(true)
       unresolved = unresolved
         .join(finalized.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)

@@ -100,26 +100,35 @@ object Geocode {
     * scan is the only wide input, zero shuffle (SURVEY.md §2.3 J7/J9). */
   // broadcast indexes are built once per (session, dimension-set) and
   // reused across jobs — deployment shape: the boundary index outlives
-  // every micro-batch of pages
-  private val indexCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int, Int, Int),
-    (org.apache.spark.broadcast.Broadcast[BoundaryCellIndex],
-     org.apache.spark.broadcast.Broadcast[PointCellIndex])]()
+  // every micro-batch of pages. BOUNDED: one live entry per
+  // (coverLevel, tileLevel, snapLevel); a new dimension set (evolving
+  // boundaries under a long-lived streaming session) displaces the old
+  // entry and destroys its broadcasts instead of accumulating forever.
+  private case class CachedIdx(contentKey: String,
+      b: org.apache.spark.broadcast.Broadcast[BoundaryCellIndex],
+      p: org.apache.spark.broadcast.Broadcast[PointCellIndex])
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), CachedIdx]()
 
   def assign(spark: SparkSession, parsed: DataFrame,
              boundaries: Seq[SpatialBoundary], buildings: Seq[(Long, Double, Double)],
              coverLevel: Int, tileLevel: Int, snapLevel: Int): DataFrame = {
-    // content-derived cache key: equal-sized but different dimension sets
+    // content-derived key: equal-sized but different dimension sets
     // must NOT collide (ids + geometry bytes + points all hashed)
     val bHash = boundaries.foldLeft(17L)((h, b) =>
       h * 31 + b.id * 7 + b.level + java.util.Arrays.hashCode(b.wkb))
     val pHash = buildings.foldLeft(19L)((h, p) =>
       h * 31 + p._1 * 7 + java.lang.Double.hashCode(p._2) + java.lang.Double.hashCode(p._3))
-    val key = (spark.sparkContext.applicationId + "/" + bHash + "/" + pHash,
-      coverLevel, tileLevel, snapLevel)
-    val (bIdx, pIdx) = indexCache.computeIfAbsent(key, _ =>
-      (spark.sparkContext.broadcast(BoundaryCellIndex.build(boundaries, coverLevel)),
-       spark.sparkContext.broadcast(PointCellIndex.build(buildings, snapLevel))))
+    val contentKey = spark.sparkContext.applicationId + "/" + bHash + "/" + pHash
+    val cached = indexCache.compute((coverLevel, tileLevel, snapLevel), (_, old) =>
+      if (old != null && old.contentKey == contentKey) old
+      else {
+        if (old != null) { old.b.destroy(); old.p.destroy() }
+        CachedIdx(contentKey,
+          spark.sparkContext.broadcast(BoundaryCellIndex.build(boundaries, coverLevel)),
+          spark.sparkContext.broadcast(PointCellIndex.build(buildings, snapLevel)))
+      })
+    val (bIdx, pIdx) = (cached.b, cached.p)
 
     val helper = new GeoHelper(bIdx, pIdx, tileLevel)
     val geo = udf { (lat: Double, lon: Double) => helper(lat, lon) }

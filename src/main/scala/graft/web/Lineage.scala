@@ -50,6 +50,7 @@ object Lineage {
     val ms = completed(outDir)
     if (ms.isEmpty) return Nil
     val actual = spark.read.parquet(s"$outDir/data")
+      .withColumn("bucket", col("bucket").cast("long"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("rows"), expr("bit_xor(xxhash64(url))").as("checksum"))
       .collect()
@@ -84,9 +85,13 @@ object Lineage {
   }
 
   /** Write `df` (which must carry `bucket` and `url` columns) partitioned by
-    * bucket, skipping buckets whose manifests exist. Each pending bucket is
-    * written AND manifested individually, so a kill mid-run loses only the
-    * in-flight bucket — the resume unit really is the bucket, not the run.
+    * bucket, skipping buckets whose manifests exist. ALL pending buckets go
+    * out in ONE dynamic-partition-overwrite job and are audited by ONE
+    * read-back aggregation that emits every manifest — the job count is
+    * independent of the bucket count (thousands of buckets at 100 TB would
+    * otherwise serialize on the driver). Cross-RUN resume granularity stays
+    * the bucket: completed buckets are never recomputed or rewritten; within
+    * one run the parquet job commit moves each partition dir atomically.
     * Lineage stats come from reading back the written files (validates what
     * is on disk); the input plan is computed once (cached). */
   def run(spark: SparkSession, df: DataFrame, outDir: String,
@@ -99,16 +104,24 @@ object Lineage {
     val ms = scala.collection.mutable.ArrayBuffer.empty[Manifest]
     if (pending.nonEmpty) {
       Files.createDirectories(manifestDir(outDir))
-      for (b <- pending) {
-        work.filter(col("bucket") === b).drop("bucket")
-          .write.mode("overwrite").parquet(s"$outDir/data/bucket=$b")
-        // lineage from the files just written (bit_xor: order-independent
-        // and overflow-free under ANSI mode)
-        val r = spark.read.parquet(s"$outDir/data/bucket=$b")
-          .agg(count(lit(1)), expr("bit_xor(xxhash64(url))")).collect()(0)
-        val m = Manifest(b, r.getLong(0), r.getLong(1), snapshotId,
-          System.currentTimeMillis())
-        Files.writeString(manifestDir(outDir).resolve(s"bucket-$b.json"),
+      work.filter(col("bucket").isin(pending: _*))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(s"$outDir/data")
+      // one grouped read-back audit over the just-written partitions
+      // (bit_xor: order-independent and overflow-free under ANSI mode)
+      val now = System.currentTimeMillis()
+      val stats = spark.read.parquet(s"$outDir/data")
+        .withColumn("bucket", col("bucket").cast("long"))
+        .filter(col("bucket").isin(pending: _*))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("rows"), expr("bit_xor(xxhash64(url))").as("checksum"))
+        .collect()
+        .map(r => Manifest(r.getLong(0), r.getLong(1), r.getLong(2), snapshotId, now))
+        .sortBy(_.bucket)
+      for (m <- stats) {
+        Files.writeString(manifestDir(outDir).resolve(s"bucket-${m.bucket}.json"),
           s"""{"bucket": ${m.bucket}, "rows": ${m.rows}, "checksum": ${m.checksum}, """ +
             s""""snapshotId": "${m.snapshotId}", "completedAtMs": ${m.completedAtMs}}""")
         ms += m

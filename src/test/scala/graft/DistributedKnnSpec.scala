@@ -35,6 +35,20 @@ class DistributedKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse world: >=16 empty rings before the hit completes without plan blowup") {
+    // one target ~1 degree away at level 12 (0.0439-degree cell rows) — the
+    // loop walks ~23 empty rings before the first hit; with per-round
+    // checkpoints of BOTH frames the plan stays flat and the run finishes
+    val points = (0L until 8L).map(i => (i, 44.0 + i * 0.001, 4.0)).toDF("id", "lat", "lon")
+    val targets = Seq((7L, 45.0, 4.0)).toDF("tid", "tlat", "tlon")
+    val t0 = System.nanoTime()
+    val got = DistributedKnn.nearest(spark, points, targets, level = 12, maxRing = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size == 8 && got.values.forall(_ == 7L))
+    assert(secs < 120.0, f"sparse ring walk took $secs%.1f s — plan blowup")
+  }
+
   test("points with no target within maxRing are dropped, not mis-assigned") {
     val points = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
     val targets = Seq((9L, 45.0, 90.0)).toDF("tid", "tlat", "tlon")

@@ -55,4 +55,15 @@ class GoldenParitySpec extends AnyFunSuite {
   test("City of London (level 6) matches golden structure") {
     check(6, 51800L, "City of London")
   }
+
+  test("canonical numbering stays distributed: no global Window in the toState plan") {
+    val (_, tables) = PlacePipeline.fromOsmDir(spark, dataDir, 10, 2604777L, "Dover")
+    val state = graft.bigraph.Assembly.toState(spark, tables)
+    val plan = state.places.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"single-partition Window found in plan:\n$plan")
+    // ids are a dense 0..n-1 ranking of uids
+    val n = state.places.count()
+    val ids = state.places.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == n - 1 && ids.distinct.length == n.toInt)
+  }
 }
