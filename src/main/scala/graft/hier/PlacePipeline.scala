@@ -80,11 +80,11 @@ object PlacePipeline {
       .cache() // probed by crossing, junctions, closure
 
     // ── buildings: deepest-first claim = post-order rank 1 (J3) ──
+    // display name/street are per-row functions — computed BEFORE the claim
+    // window so the shuffle carries 5 narrow strings, not the tags map
     val wClaim = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
     val buildingsClaimed = withMeta
       .filter(col("cls").isin("bldg_street", "bldg_plain"))
-      .withColumn("rn", row_number().over(wClaim))
-      .filter(col("rn") === 1)
       .withColumn("street",
         when(col("cls") === "bldg_street", tag("addr:street")).otherwise(lit(null)))
       .withColumn("bname",
@@ -93,20 +93,25 @@ object PlacePipeline {
           .otherwise(tag("name")))
       .filter(col("bname").isNotNull)
       .select("bkey", "elem_key", "street", "bname", "chain", "post_idx")
+      .withColumn("rn", row_number().over(wClaim))
+      .filter(col("rn") === 1)
+      .drop("rn")
       .cache() // shared by streets, buildings
 
     // ── street candidates: highway ways and relations (hierarchy.ml:158-176) ──
     // F3 display name: name | ref | typed id string
     val streetCandidates = withMeta.filter(col("cls") === "highway")
       .withColumn("street", coalesce(tag("name"), tag("ref"), col("elem_key")))
+      .select("bkey", "kind", "elem_key", "street", "nds", "chain", "post_idx")
 
     val wayCandidates = streetCandidates.filter(col("kind") === "way")
 
     // crossing(way, boundary): some member node is one of this boundary's
-    // outer-name nodes (hierarchy.ml:214-218)
+    // outer-name nodes (hierarchy.ml:214-218); outer nodes are a bounded
+    // dimension (border nodes) → broadcast, no shuffle of the exploded ways
     val crossing = wayCandidates
       .select(col("bkey"), col("elem_key"), explode(col("nds")).as("nd"))
-      .join(outerNodes, Seq("bkey", "nd"), "left_semi")
+      .join(broadcast(outerNodes), Seq("bkey", "nd"), "left_semi")
       .select("bkey", "elem_key").distinct()
       .withColumn("crossing", lit(true))
 
@@ -131,15 +136,18 @@ object PlacePipeline {
     // ── junctions (A4/A5, hierarchy.ml:188-234): per boundary, a node is a
     // junction iff ≥2 distinct street names meet there or it is an
     // outer-name node; one Junction atom per (boundary, street, node) ──
+    // ONE aggregation does qualify + atom emission: collect_set dedupes the
+    // (street, chain) pairs per (boundary, node) — chain is functionally
+    // dependent on bkey, so set size == distinct street count — then the
+    // qualified sets re-explode into atoms. (The previous shape paid three
+    // shuffles: explode-distinct, countDistinct agg, semi join back.)
     val wayNodes = waysIncluded
       .select(col("bkey"), col("street"), col("chain"), explode(col("nds")).as("nd"))
-      .distinct()
-    val nodeQualifies = wayNodes
+    val qualified = wayNodes
       .groupBy(col("bkey"), col("nd"))
-      .agg(countDistinct(col("street")).as("n_streets"))
-      .join(outerNodes.withColumn("is_outer", lit(true)), Seq("bkey", "nd"), "left")
-      .filter(col("n_streets") > 1 || col("is_outer"))
-      .select("bkey", "nd")
+      .agg(collect_set(struct(col("street"), col("chain"))).as("ss"))
+      .join(broadcast(outerNodes.withColumn("is_outer", lit(true))), Seq("bkey", "nd"), "left")
+      .filter(size(col("ss")) > 1 || col("is_outer"))
     // closure = first self-or-ancestor boundary whose outer-name set misses
     // the node (builder.ml:216-226's per-boundary close) — computed PER ATOM
     // at build time with a codegen'd higher-order filter (no UDF), so both
@@ -148,17 +156,17 @@ object PlacePipeline {
     // atoms whose name chains repeat)
     val outerByNode = outerNodes.groupBy(col("nd"))
       .agg(collect_set(col("bkey")).as("outer_bkeys"))
-    val junctionAtoms = wayNodes
-      .join(nodeQualifies, Seq("bkey", "nd"), "left_semi")
-      .join(metaDf.select(col("bkey"), col("path")), Seq("bkey"))
-      .join(outerByNode, Seq("nd"), "left")
+    val junctionAtoms = qualified
+      .join(broadcast(metaDf.select(col("bkey"), col("path"))), Seq("bkey"))
+      .join(broadcast(outerByNode), Seq("nd"), "left")
       .withColumn("closure",
         coalesce(
           try_element_at(filter(col("path"),
             a => !array_contains(coalesce(col("outer_bkeys"), array()), a)), lit(1)),
           lit("OPEN")))
-      .select(col("bkey"), col("street"), col("nd"),
-        concat(col("chain"), lit(">"), col("street")).as("street_chain"),
+      .select(col("bkey"), col("nd"), col("closure"), explode(col("ss")).as("sc"))
+      .select(col("bkey"), col("sc.street").as("street"), col("nd"),
+        concat(col("sc.chain"), lit(">"), col("sc.street")).as("street_chain"),
         col("closure"))
       .cache() // terminal table, re-read by junctionEdges + stats + assembly
 
@@ -202,15 +210,18 @@ object PlacePipeline {
     * atoms + junction atoms; edge count = one closed ID link per named
     * entity + one hyperedge per (node, closure). */
   def stats(t: PlaceTables): PlaceStats = {
-    // junctionAtoms is cached inside build(); edges fold both counts into
-    // one aggregate so each table is paid exactly once
+    // one aggregate over the edges yields edge count, open count AND the
+    // atom count (nJ = Σ n_ports — every atom belongs to exactly one edge),
+    // so junctionAtoms is never re-scanned here
     val nB = t.boundaries.count()
     val nS = t.streets.count()
     val nBu = t.buildings.count()
-    val nJ = t.junctionAtoms.count()
-    val eAgg = t.junctionEdges.agg(count(lit(1)), count(col("outer_name"))).collect()(0)
+    val eAgg = t.junctionEdges
+      .agg(count(lit(1)), count(col("outer_name")),
+        coalesce(sum(col("n_ports")), lit(0L))).collect()(0)
     val nE = eAgg.getLong(0)
     val nOpen = eAgg.getLong(1)
+    val nJ = eAgg.getLong(2)
     PlaceStats(nB, nS, nBu, nJ,
       nNodes = 2 * (nB + nS + nBu) + nJ,
       nEdges = nB + nS + nBu + nE,
