@@ -79,25 +79,37 @@ object Bench {
     // from a materialized parquet scan (generation is setup, not workload;
     // min of 2 runs damps host noise)
     consume(Flagship.geocode(spark, benchCfg(20000L)))
+    // ScalingBench protocol: steady-state = min of 5 timed runs over the
+    // materialized parquet after the JIT warmup above
     val flagshipPages = 2000000L
     val fCfg = benchCfg(flagshipPages)
     val fDir = Flagship.materializePages(spark, fCfg)
-    val tFlag = (1 to 2).map { _ =>
+    val tFlag = (1 to 5).map { _ =>
       time(consume(Flagship.geocodePages(spark, spark.read.parquet(fDir), fCfg)))
     }.min
     results += ("flagship_geocode_2m_pages" -> tFlag)
-    System.err.println(f"[bench] flagship: ${flagshipPages / tFlag}%.0f pages geocoded+tiled/s at local[$cpus]")
+    System.err.println(f"[bench] flagship: ${flagshipPages / tFlag}%.0f pages geocoded+tiled/s at local[$cpus] (min of 5)")
 
+    // per-query status: a crashing query must surface as err, not as a
+    // flattering near-zero timing
+    val status = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var st = "ok"
       results += (name -> time {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          st = "err:" + e.getClass.getSimpleName
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
       })
+      status += name -> st
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val stJson = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val nErr = status.values.count(_ != "ok")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$stJson,"errors":$nErr,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,8 @@ import graft.react.Reactions
   *     -one-reaction        B1 + leave_building (botw.ml:58-83)
   *     -all-reactions       the full 8-rule sequence (botw.ml:84-167)
   *     -seed <n>            building pick seed (replaces Random.self_init, F7)
+  *     -id-parameter        names in ctrl params, no ID atoms/links (botw.ml:186-188)
+  *     -write-dot <path>    S7 dot sink (botw.ml:185, 44-57)
   *
   * Prints the S8 stats block (hierarchy.ml:236-286) in the reference's
   * format, then per-reaction timings.
@@ -44,6 +46,7 @@ object BotwCli {
       r
     }
 
+    val idParameter = flag("-id-parameter")
     var state = flagArg("-load") match {
       case Some(path) => timed("load")(Assembly.loadJson(spark, path))
       case None =>
@@ -51,20 +54,25 @@ object BotwCli {
           PlacePipeline.fromOsmDir(spark, dataDir, level, relId, name)
         }
         for (out <- flagArg("-write-json")) timed("write-json") {
-          Assembly.writeJson(spark, tables, out)
+          Assembly.writeJson(spark, tables, out, idParameter)
         }
         Assembly.toState(spark, tables)
     }
+    for (out <- flagArg("-write-dot")) timed("write-dot") {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), Assembly.toDot(state))
+    }
 
-    // stats (S8)
+    // stats (S8); -id-parameter drops the ID atoms and their links
     val nJ = state.countCtrl("Junction")
     val nB = state.countCtrl("Boundary")
     val nS = state.countCtrl("Street")
     val nBu = state.countCtrl("Building")
-    val nEdges = nB + nS + nBu + state.junctionEdges.select("edge_key").distinct().count()
+    val entityFactor = if (idParameter) 1 else 2
+    val idLinks = if (idParameter) 0L else nB + nS + nBu
+    val nEdges = idLinks + state.junctionEdges.select("edge_key").distinct().count()
     val nOpen = state.junctionEdges.filter(col("edge_key").endsWith("@OPEN") ||
       col("edge_key").startsWith("node ")).select("edge_key").distinct().count()
-    println(s"Number of nodes: ${2 * (nB + nS + nBu) + nJ}")
+    println(s"Number of nodes: ${entityFactor * (nB + nS + nBu) + nJ}")
     println(s"Number of edges: $nEdges")
     println(s"Number of outer names:$nOpen")
     println(s"Number of boundaries: $nB")

@@ -78,15 +78,22 @@ object Assembly {
   /** S5: serialize to the reference's bigraph JSON schema
     * (output/<key>.json shape — place_graph sparse matrices, link_graph,
     * nodes; botw.ml:34-43). Node numbering is canonical (sorted uid), not
-    * OCaml fold order; structural canon round-trips exactly. */
-  def writeJson(spark: SparkSession, t: PlaceTables, path: String): Unit = {
+    * OCaml fold order; structural canon round-trips exactly.
+    * `idParameter` mirrors the reference's -id-parameter flag
+    * (builder.ml:86-101): entity names go in ctrl_params (arity 0), no ID
+    * atoms and no ID links are emitted. */
+  def writeJson(spark: SparkSession, t: PlaceTables, path: String,
+                idParameter: Boolean = false): Unit = {
     val state = toState(spark, t)
     val places = state.places.collect().sortBy(_.getLong(0))
     val edgeRows = state.junctionEdges.collect()
       .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
     val n = places.length
     // ID atoms appended after entity nodes: one per named entity
-    val entityIds = places.filter(r => r.getString(1) != "Junction").map(_.getLong(0))
+    // (none in id-parameter mode)
+    val entityIds =
+      if (idParameter) Array.empty[Long]
+      else places.filter(r => r.getString(1) != "Junction").map(_.getLong(0))
     val idAtomOf = entityIds.zipWithIndex.map { case (e, i) => e -> (n + i) }.toMap
     val total = n + entityIds.length
 
@@ -135,7 +142,11 @@ object Assembly {
     val ctrlEntries =
       places.map { r =>
         val (id, c) = (r.getLong(0), r.getString(1))
-        s"""[$id,{"ctrl_name":"${esc(c)}","ctrl_params":[],"ctrl_arity":1}]"""
+        if (idParameter && c != "Junction") {
+          val name = r.getString(2)
+          s"""[$id,{"ctrl_name":"${esc(c)}","ctrl_params":[{"ctrl_string":"${esc(name)}"}],"ctrl_arity":0}]"""
+        } else
+          s"""[$id,{"ctrl_name":"${esc(c)}","ctrl_params":[],"ctrl_arity":1}]"""
       } ++ entityIds.map { e =>
         val name = places(e.toInt).getString(2)
         s"""[${idAtomOf(e)},{"ctrl_name":"ID","ctrl_params":[{"ctrl_string":"${esc(name)}"}],"ctrl_arity":1}]"""

@@ -81,21 +81,50 @@ object Hierarchy {
       frontier = fresh
       iter += 1
     }
-    val resolved = candidates.groupBy(_._1).map { case (childKey, cs) =>
-      val best = cs.minBy { case (_, _, _, _, pk, plvl, it) => (-plvl, it, pk) }
-      Boundary(childKey, best._2, best._3, best._4, best._5)
+    // EXACT replay of the reference's sequential resolution
+    // (hierarchy.ml:20-68) over the collected candidate edges: DFS from the
+    // root, each file's candidates in ascending id-STRING order (the OCaml
+    // Map.fold order over osm_record.relations); first sight sets the parent
+    // and recurses; a later STRICTLY-DEEPER parent replaces without
+    // re-recursion; ties keep the first-seen parent. The edge set is a
+    // bounded dimension (≤10^6 boundaries planet-wide) — driver replay is
+    // free while the file parsing above stays distributed.
+    val byParent = candidates.groupBy(_._5).map { case (pk, cs) =>
+      pk -> cs.sortBy(_._3.toString)
     }
+    val info = candidates.map(t => t._1 -> t).toMap
+    val parentOf = scala.collection.mutable.LinkedHashMap(rootKey -> "0-0-root")
+    val levelOf = scala.collection.mutable.Map(rootKey -> rootLevel)
+    def dfs(key: String, lvl: Int): Unit =
+      for ((ck, clvl, _, _, _, _, _) <- byParent.getOrElse(key, Seq.empty) if clvl > lvl) {
+        parentOf.get(ck) match {
+          case None =>
+            parentOf(ck) = key; levelOf(ck) = clvl
+            dfs(ck, clvl)
+          case Some(prev) if levelOf.getOrElse(prev, Int.MaxValue) < lvl =>
+            parentOf(ck) = key // deeper parent wins, no re-recursion
+          case _ => ()
+        }
+      }
+    dfs(rootKey, rootLevel)
     Seq(Boundary(rootKey, rootLevel, rootId, rootName, "0-0-root")) ++
-      resolved.filter(_.bkey != rootKey)
+      parentOf.iterator.collect {
+        case (ck, pk) if ck != rootKey =>
+          val t = info(ck)
+          Boundary(ck, t._2, t._3, t._4, pk)
+      }
   }
 
-  /** DFS post-order over the resolved forest, children in ascending key
-    * order (Core.Map fold order, builder.ml:57-68). Also derives ancestor
-    * paths and display name chains. */
+  /** DFS post-order over the resolved forest, children in DESCENDING key
+    * order: invert_map_list (hierarchy.ml:6-10) PREPENDS during its
+    * ascending fold, so builder.ml:57-68 visits each boundary's children
+    * largest-key-first. Also derives ancestor paths and display name
+    * chains. (OCaml compares byte-wise, Scala by UTF-16 code unit — they
+    * agree on all BMP names in OSM data.) */
   def metadata(boundaries: Seq[Boundary]): Seq[BoundaryMeta] = {
     val byKey = boundaries.map(b => b.bkey -> b).toMap
     val children = boundaries.groupBy(_.parentKey).map { case (p, cs) =>
-      p -> cs.map(_.bkey).sorted
+      p -> cs.map(_.bkey).sorted(Ordering[String].reverse)
     }
     val roots = boundaries.filter(b => !byKey.contains(b.parentKey)).map(_.bkey).sorted
     val out = scala.collection.mutable.ArrayBuffer.empty[BoundaryMeta]

@@ -208,8 +208,11 @@ object PlacePipeline {
 
   /** A6/S8 stats (hierarchy.ml:236-286): node count = entities + their ID
     * atoms + junction atoms; edge count = one closed ID link per named
-    * entity + one hyperedge per (node, closure). */
-  def stats(t: PlaceTables): PlaceStats = {
+    * entity + one hyperedge per (node, closure). Under `idParameter`
+    * (reference flag -id-parameter, botw.ml:186-188 / builder.ml:86-101)
+    * names live in the entity's own ctrl param: no ID atoms, no ID links —
+    * nodes = B+S+Bu+J, edges = junction hyperedges only. */
+  def stats(t: PlaceTables, idParameter: Boolean = false): PlaceStats = {
     // one aggregate over the edges yields edge count, open count AND the
     // atom count (nJ = Σ n_ports — every atom belongs to exactly one edge),
     // so junctionAtoms is never re-scanned here
@@ -222,9 +225,11 @@ object PlacePipeline {
     val nE = eAgg.getLong(0)
     val nOpen = eAgg.getLong(1)
     val nJ = eAgg.getLong(2)
+    val entityFactor = if (idParameter) 1 else 2
+    val idLinks = if (idParameter) 0L else nB + nS + nBu
     PlaceStats(nB, nS, nBu, nJ,
-      nNodes = 2 * (nB + nS + nBu) + nJ,
-      nEdges = nB + nS + nBu + nE,
+      nNodes = entityFactor * (nB + nS + nBu) + nJ,
+      nEdges = idLinks + nE,
       nOpenNames = nOpen)
   }
 

@@ -57,20 +57,21 @@ object Reactions {
     s.copy(places = s.places.unionByName(fresh).cache())
   }
 
-  /** B2 leave_*: Agent nested in a `ctrl` ⇒ beside it (builder.ml:309-332). */
-  def leave(s: BigraphState, ctrl: String): Option[BigraphState] = {
-    val m = s.places.as("a")
+  /** All occurrences of leave_* (builder.ml:309-332) as a Dataset:
+    * (agent, target) where target = the grandparent the agent moves beside. */
+  def leaveMatches(s: BigraphState, ctrl: String): DataFrame =
+    s.places.as("a")
       .filter(col("a.ctrl") === "Agent")
       .join(s.places.as("p"), col("a.parent") === col("p.id") && col("p.ctrl") === lit(ctrl))
-      .select(col("a.id").as("agent"), col("p.parent").as("grandparent"))
-      .orderBy(col("agent")).limit(1).collect()
-    m.headOption.map(r => reparent(s, r.getLong(0), r.getLong(1)))
-  }
+      .select(col("a.id").as("agent"), col("p.parent").as("target"))
 
-  /** B3/B4 enter_* (+ optional parent-ctrl constraint for
-    * enter_building_from_street/_from_boundary, builder.ml:334-351):
-    * Agent beside a `ctrl` sibling ⇒ nested in it. */
-  def enter(s: BigraphState, ctrl: String, viaParentCtrl: Option[String] = None): Option[BigraphState] = {
+  /** B2 leave_*: Agent nested in a `ctrl` ⇒ beside it (builder.ml:309-332). */
+  def leave(s: BigraphState, ctrl: String): Option[BigraphState] =
+    applyFirst(s, leaveMatches(s, ctrl))
+
+  /** All occurrences of enter_* (builder.ml:334-351): (agent, target). */
+  def enterMatches(s: BigraphState, ctrl: String,
+                   viaParentCtrl: Option[String] = None): DataFrame = {
     var m = s.places.as("a")
       .filter(col("a.ctrl") === "Agent")
       .join(s.places.as("t"),
@@ -79,43 +80,84 @@ object Reactions {
     for (pc <- viaParentCtrl)
       m = m.join(s.places.as("p"),
         col("a.parent") === col("p.id") && col("p.ctrl") === lit(pc))
-    val hit = m.select(col("a.id").as("agent"), col("t.id").as("target"))
-      .orderBy(col("agent"), col("target")).limit(1).collect()
-    hit.headOption.map(r => reparent(s, r.getLong(0), r.getLong(1)))
+    m.select(col("a.id").as("agent"), col("t.id").as("target"))
   }
 
-  /** B5 move_across_linked_streets (builder.ml:353-368): Agent in Street s₁
-    * beside a Junction on hyperedge e; another Junction on e sits in
-    * Street s₂ ≠ s₁ ⇒ Agent moves into s₂. */
-  def moveAcrossLinkedStreets(s: BigraphState): Option[BigraphState] = {
+  /** B3/B4 enter_* (+ optional parent-ctrl constraint for
+    * enter_building_from_street/_from_boundary, builder.ml:334-351):
+    * Agent beside a `ctrl` sibling ⇒ nested in it. */
+  def enter(s: BigraphState, ctrl: String, viaParentCtrl: Option[String] = None): Option[BigraphState] =
+    applyFirst(s, enterMatches(s, ctrl, viaParentCtrl))
+
+  /** All occurrences of move_across_linked_streets (builder.ml:353-368):
+    * (agent, target street). */
+  def moveAcrossMatches(s: BigraphState): DataFrame = {
     val j = s.places.filter(col("ctrl") === "Junction")
       .join(s.junctionEdges, col("id") === col("place_id"))
       .select(col("id").as("jid"), col("parent").as("street"), col("edge_key"))
-    val hit = s.places.as("a").filter(col("a.ctrl") === "Agent")
+    s.places.as("a").filter(col("a.ctrl") === "Agent")
       .join(s.places.as("st"), col("a.parent") === col("st.id") && col("st.ctrl") === "Street")
       .join(j.as("j1"), col("j1.street") === col("st.id"))
       .join(j.as("j2"), col("j2.edge_key") === col("j1.edge_key") &&
         col("j2.street") =!= col("j1.street"))
       .select(col("a.id").as("agent"), col("j2.street").as("target"))
-      .orderBy(col("agent"), col("target")).limit(1).collect()
-    hit.headOption.map(r => reparent(s, r.getLong(0), r.getLong(1)))
+      .distinct()
+  }
+
+  /** B5 move_across_linked_streets (builder.ml:353-368): Agent in Street s₁
+    * beside a Junction on hyperedge e; another Junction on e sits in
+    * Street s₂ ≠ s₁ ⇒ Agent moves to s₂. */
+  def moveAcrossLinkedStreets(s: BigraphState): Option[BigraphState] =
+    applyFirst(s, moveAcrossMatches(s))
+
+  /** All occurrences of connect_to_nearby_agent (builder.ml:381-408) after
+    * the AppCond anti join: (agent_a, agent_b) pairs not yet linked. */
+  def connectMatches(s: BigraphState): DataFrame = {
+    val agents = s.places.filter(col("ctrl") === "Agent").select(col("id"), col("parent"))
+    agents.as("x").join(agents.as("y"),
+        col("x.parent") === col("y.parent") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("agent_a"), col("y.id").as("agent_b"))
+      .join(s.contacts, Seq("agent_a", "agent_b"), "left_anti")
   }
 
   /** B6 connect_to_nearby_agent (builder.ml:381-408): two Agents sharing a
     * parent, not already linked (the AppCond as a left_anti join), get a
     * contact link. */
   def connectToNearbyAgent(s: BigraphState): Option[BigraphState] = {
-    val agents = s.places.filter(col("ctrl") === "Agent").select(col("id"), col("parent"))
-    val pairs = agents.as("x").join(agents.as("y"),
-        col("x.parent") === col("y.parent") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("agent_a"), col("y.id").as("agent_b"))
-    val fresh = pairs.join(s.contacts, Seq("agent_a", "agent_b"), "left_anti")
+    val fresh = connectMatches(s)
       .orderBy(col("agent_a"), col("agent_b")).limit(1).collect()
-    fresh.headOption.map { r =>
-      val sp = s.spark
-      import sp.implicits._
-      val add = Seq((r.getLong(0), r.getLong(1))).toDF("agent_a", "agent_b")
-      s.copy(contacts = s.contacts.unionByName(add).cache())
+    fresh.headOption.map(r => addContact(s, r.getLong(0), r.getLong(1)))
+  }
+
+  private def addContact(s: BigraphState, a: Long, b: Long): BigraphState = {
+    val sp = s.spark
+    import sp.implicits._
+    s.copy(contacts = s.contacts.unionByName(Seq((a, b)).toDF("agent_a", "agent_b")).cache())
+  }
+
+  /** Canonical first occurrence of a reparenting match set (§7.5: "first" =
+    * minimum (agent, target), replacing the solver's unspecified order). */
+  private def applyFirst(s: BigraphState, matches: DataFrame): Option[BigraphState] =
+    matches.orderBy(col("agent"), col("target")).limit(1).collect()
+      .headOption.map(r => reparent(s, r.getLong(0), r.getLong(1)))
+
+  /** BRS `step` (builder.mli:124-133): enumerate EVERY occurrence of a
+    * reparenting rule and return one successor state per occurrence —
+    * library-surface parity with the reference's step (the binary itself
+    * only ever calls apply/fix). `matches` is one of the *Matches Datasets. */
+  def step(s: BigraphState, matches: DataFrame): Seq[BigraphState] =
+    matches.orderBy(col("agent"), col("target")).collect().toSeq
+      .map(r => reparent(s, r.getLong(0), r.getLong(1)))
+
+  /** BRS `random_step` (builder.mli:129-133): apply one occurrence chosen
+    * uniformly by a SEEDED pick over the canonical order (determinism rule
+    * §7.5 replaces the reference's Random.self_init). */
+  def randomStep(s: BigraphState, matches: DataFrame, seed: Long): Option[BigraphState] = {
+    val ms = matches.orderBy(col("agent"), col("target")).collect()
+    if (ms.isEmpty) None
+    else {
+      val r = ms((graft.synth.SynthWorld.mix(seed).abs % ms.length).toInt)
+      Some(reparent(s, r.getLong(0), r.getLong(1)))
     }
   }
 

@@ -34,14 +34,18 @@ class ClaimRulesSpec extends AnyFunSuite {
     assert(rows(0).getAs[String]("bchain") == "Root>Mid>Deep>Town Hall")
   }
 
-  test("J3: among non-nested boundaries, earliest post-order wins") {
-    val mid2 = Boundary("6-4-Aid", 6, 4, "Aid", "2-1-Root") // "6-4-Aid" > "6-2-Mid" (string order)
+  test("J3: a border-straddling element goes to the DESCENDING-first sibling (reference fold order)") {
+    // invert_map_list (hierarchy.ml:6-10) prepends during its ascending
+    // fold, so builder.ml visits siblings largest-key-first: the element in
+    // both extracts is claimed by "6-4-Aid" (> "6-2-Mid"), which is earlier
+    // in the reference's post-order
+    val mid2 = Boundary("6-4-Aid", 6, 4, "Aid", "2-1-Root")
     val m = Hierarchy.metadata(Seq(root, mid, mid2))
     val t = PlacePipeline.build(spark, Seq(
       bldg("6-2-Mid", 100, "name" -> "Border House"),
       bldg("6-4-Aid", 100, "name" -> "Border House")).toDS(), m)
     val rows = t.buildings.collect()
-    assert(rows.length == 1 && rows(0).getAs[String]("bkey") == "6-2-Mid")
+    assert(rows.length == 1 && rows(0).getAs[String]("bkey") == "6-4-Aid")
   }
 
   test("F2: unnamed building uses housenumber + street; nameless otherwise errors") {

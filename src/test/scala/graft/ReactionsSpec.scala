@@ -85,6 +85,58 @@ class ReactionsSpec extends AnyFunSuite {
     assert(Reactions.connectToNearbyAgent(after).isEmpty)
   }
 
+  test("BRS step enumerates every occurrence; random_step is seeded-deterministic") {
+    var s = Assembly.toState(spark, doverTables)
+    val bs = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
+      .limit(3).collect().map(_.getString(2))
+    s = Reactions.addAgentToBuilding(s, bs(0), "s1")
+    s = Reactions.addAgentToBuilding(s, bs(1), "s2")
+    s = Reactions.addAgentToBuilding(s, bs(2), "s3")
+    // step over leave_building: one successor per agent-in-building
+    val succ = Reactions.step(s, Reactions.leaveMatches(s, "Building"))
+    assert(succ.length == 3)
+    // each successor moved exactly one agent out of its building
+    for (st <- succ) {
+      val stillIn = st.places.as("a").filter(col("a.ctrl") === "Agent")
+        .join(st.places.as("p"),
+          col("a.parent") === col("p.id") && col("p.ctrl") === "Building").count()
+      assert(stillIn == 2)
+    }
+    // random_step: same seed → same successor; empty matches → None
+    val r1 = Reactions.randomStep(s, Reactions.leaveMatches(s, "Building"), seed = 7L).get
+    val r2 = Reactions.randomStep(s, Reactions.leaveMatches(s, "Building"), seed = 7L).get
+    assert(r1.places.orderBy("id").collect().toSeq == r2.places.orderBy("id").collect().toSeq)
+    assert(Reactions.randomStep(s, Reactions.enterMatches(s, "Agent"), 1L).isEmpty)
+  }
+
+  test("-id-parameter mode: nodes = B+S+Bu+J, edges = junction links only, loader round-trips") {
+    val stDefault = PlacePipeline.stats(doverTables)
+    val stParam = PlacePipeline.stats(doverTables, idParameter = true)
+    val (b, s, bu, j) = (stParam.nBoundaries, stParam.nStreets, stParam.nBuildings, stParam.nJunctions)
+    assert(stParam.nNodes == b + s + bu + j)
+    assert(stDefault.nNodes == 2 * (b + s + bu) + j)
+    assert(stParam.nEdges == stDefault.nEdges - (b + s + bu))
+    assert(stParam.nOpenNames == stDefault.nOpenNames)
+    // writer emits param-mode JSON the loader reads back with names intact
+    val path = java.nio.file.Files.createTempFile("graft-dover-param", ".json").toString
+    Assembly.writeJson(spark, doverTables, path, idParameter = true)
+    val loaded = Assembly.loadJson(spark, path)
+    assert(loaded.places.count() == stParam.nNodes)
+    assert(loaded.countCtrl("Building") == bu)
+    val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(!txt.contains("\"ID\""), "param mode must not emit ID atoms")
+  }
+
+  test("S7 dot sink renders nesting and junction hyperedges") {
+    val state = Assembly.toState(spark, doverTables)
+    val dot = Assembly.toDot(state)
+    assert(dot.startsWith("digraph bigraph {"))
+    assert(dot.contains("shape=box"), "boundary node missing")
+    assert(dot.contains("shape=house"), "building nodes missing")
+    assert(dot.contains("[style=dashed dir=none]"), "junction hyperedges missing")
+    assert(dot.trim.endsWith("}"))
+  }
+
   test("B7 fix reaches a fixpoint: repeated leave_building empties all buildings of agents") {
     var s = Assembly.toState(spark, doverTables)
     val bs = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
