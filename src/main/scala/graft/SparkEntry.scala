@@ -146,6 +146,28 @@ object SparkEntry {
                                  .select(col("url").cast("long").as("point_id"),
                                    col("boundary_id"), col("admin_level"), col("admin_chain"))
                              }),
+    "q37_zonal_stats"    -> ((s, d) => {
+                               // raster↔vector: rasterize the points at
+                               // level 8, then per-zone (all 21 rects,
+                               // overlapping) count+sum of cells whose
+                               // centroid the zone contains — cover prejoin
+                               // + PIP refine via BoundaryCellIndex
+                               val raster = graft.spatial.Raster.rasterize(
+                                 s, synthPoints(s, d), level = 8)
+                               graft.spatial.Raster.zonalStats(s, raster,
+                                 graft.web.Flagship.boundaries(spatialCfg), coverLevel = 8)
+                             }),
+    "q38_vectorize_cc"   -> ((s, d) => {
+                               // raster→vector: 4-neighbor connected
+                               // components of the occupied level-12 cells,
+                               // iterative min-label propagation; the oracle
+                               // replays it as a recursive-CTE reachability
+                               // closure
+                               val cells = synthPoints(s, d).select(
+                                 floor((col("lon") + 180) / 360 * 4096).cast("long").as("i"),
+                                 floor((col("lat") + 90) / 180 * 4096).cast("long").as("j"))
+                               graft.spatial.Raster.connectedComponents(s, cells, gridN = 4096L)
+                             }),
     "q36_knn_snap"       -> ((s, d) => {
                                // J9 kNN snap through the DISTRIBUTED ring-join
                                // path (fact×fact shape); oracle = brute-force
@@ -389,6 +411,58 @@ object SparkEntry {
                 concat('Synthia>Province-', pi, '-', pj,
                        '>City-', 100 + pi*2 + pj, '-', ci, '-', cj) AS admin_chain
          FROM cell""",
+    "q37_zonal_stats" ->
+      """WITH pts AS (
+           SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), cells AS (
+           SELECT CAST(FLOOR((lon + 180) / 360 * 256) AS BIGINT) AS i,
+                  CAST(FLOOR((lat + 90) / 180 * 256) AS BIGINT) AS j,
+                  count(*) AS v
+           FROM pts GROUP BY 1, 2
+         ), cent AS (
+           SELECT v, (i + 0.5) / 256 * 360 - 180 AS clon,
+                  (j + 0.5) / 256 * 180 - 90 AS clat
+           FROM cells
+         ), rects AS (
+           SELECT CAST(1 AS BIGINT) AS boundary_id, 0.0 AS x0, 40.0 AS y0, 8.0 AS x1, 48.0 AS y1
+           UNION ALL
+           SELECT 100+pi*2+pj, pi*4.0, 40+pj*4.0, pi*4.0+4, 40+pj*4.0+4
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj)
+           UNION ALL
+           SELECT (100+pi*2+pj)*1000 + ci*2+cj, pi*4.0+ci*2, 40+pj*4.0+cj*2,
+                  pi*4.0+ci*2+2, 40+pj*4.0+cj*2+2
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         )
+         SELECT r.boundary_id, count(*) AS n_cells, CAST(sum(c.v) AS BIGINT) AS sum_v
+         FROM cent c JOIN rects r
+           ON c.clat > r.y0 AND c.clat < r.y1 AND c.clon > r.x0 AND c.clon < r.x1
+         GROUP BY 1""",
+    "q38_vectorize_cc" ->
+      """WITH RECURSIVE pts AS (
+           SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), ids AS (
+           SELECT DISTINCT CAST(FLOOR((lon + 180) / 360 * 4096) AS BIGINT) AS i,
+                  CAST(FLOOR((lat + 90) / 180 * 4096) AS BIGINT) AS j
+           FROM pts
+         ), keyed AS (
+           SELECT i, j, i * 4096 + j AS key FROM ids
+         ), edges AS (
+           SELECT a.key AS src, b.key AS dst
+           FROM keyed a JOIN keyed b
+             ON (abs(a.i - b.i) + abs(a.j - b.j)) = 1
+         ), reach(key, r) AS (
+           SELECT key, key FROM keyed
+           UNION
+           SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.key
+         )
+         SELECT k.i, k.j, m.comp
+         FROM keyed k JOIN (SELECT key, min(r) AS comp FROM reach GROUP BY key) m
+           ON m.key = k.key""",
     "q36_knn_snap" ->
       """WITH pts AS (
            SELECT c_custkey AS point_id,

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * The Scala analogue of a `mapInPandas` batch UDF is `mapPartitions` over
   * a typed Dataset: one decoder instance per partition, rows streamed
   * through in batch.
+  *
+  * Operators: decode→feature-extract (with per-kind frame sampling),
+  * resize (block-average downsample — real array math over the byte grid),
+  * and embedding-cosine near-dup over the extracted features.
   */
 object MultiModal {
 
@@ -34,35 +38,100 @@ object MultiModal {
     out
   }
 
-  /** Deterministic synthetic media table — binary payloads with metadata. */
+  /** Resize kernel: block-average downsample of a (w × h) byte grid to
+    * (tw × th). The array math is real (what a production resize does after
+    * decode); only the pixel source is the stub byte grid. */
+  def resizeStub(bytes: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    require(tw > 0 && th > 0 && tw <= w && th <= h, s"bad resize $w x $h -> $tw x $th")
+    val out = new Array[Byte](tw * th)
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw; val x1 = math.max(x0 + 1, (tx + 1) * w / tw)
+        val y0 = ty * h / th; val y1 = math.max(y0 + 1, (ty + 1) * h / th)
+        var sum = 0L; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val idx = y * w + x
+            if (idx < bytes.length) { sum += bytes(idx) & 0xff; n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = (if (n == 0) 0 else sum / n).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** Deterministic synthetic media table — binary payloads with metadata
+    * over three kinds (image / audio / video). */
   def synthMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val h = graft.synth.SynthWorld.mix(seed ^ i)
-      val kind = if ((h & 1) == 0) "image" else "audio"
+      val kind = math.floorMod(h, 3L) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
       val len = 64 + (math.floorMod(h >>> 8, 192L)).toInt
       val bytes = Array.tabulate(len)(j => (graft.synth.SynthWorld.mix(h + j) & 0xff).toByte)
       MediaRow(i, kind, bytes,
-        width = if (kind == "image") 640 else 0,
-        height = if (kind == "image") 480 else 0,
+        width = if (kind != "audio") 640 else 0,
+        height = if (kind != "audio") 480 else 0,
         sample_rate = if (kind == "audio") 16000 else 0)
     }
   }
 
   /** Batch feature extraction: one pass per partition, decoder state built
-    * once per task (the mapInPandas shape). Frame sampling for video/audio
-    * is `every k-th block` over the payload. */
+    * once per task (the mapInPandas shape). Video is FRAME-SAMPLED before
+    * decode: every `frameStride`-th 16-byte frame block feeds the feature;
+    * image/audio decode the full payload with per-block subsampling. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16,
                       frameStride: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       // per-partition decoder init happens HERE (stubbed)
       it.map { row =>
-        val sampled = row.media.grouped(frameStride).map(_.head).toArray
+        val (decoded, frames) = row.kind match {
+          case "video" =>
+            val blocks = row.media.grouped(16).toArray
+            val sampled = blocks.indices.collect {
+              case bi if bi % frameStride == 0 => blocks(bi)
+            }
+            (sampled.flatten.toArray, sampled.length)
+          case _ =>
+            (row.media, row.media.grouped(frameStride).size)
+        }
         MediaFeatures(row.media_id, row.kind, row.media.length.toLong,
-          stubDecode(row.media, dim), sampled.length)
+          stubDecode(decoded, dim), frames)
       }
     }
+  }
+
+  /** Embedding-cosine near-dup over the extracted features: pairs with
+    * cosine ≥ minCosine (planted byte-identical media have cosine 1). The
+    * all-pairs shape mirrors sim.Ann.exactTopK; at corpus scale swap in the
+    * IVF candidate generation (sim.Ann.ivfTopK) — features are the same
+    * Array[Float] column either way. */
+  def mediaNearDup(feats: DataFrame, minCosine: Double = 0.999): DataFrame = {
+    val withNorm = feats.select(col("media_id"), col("feature"))
+      .withColumn("norm",
+        sqrt(aggregate(col("feature"), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))))
+      .repartition(feats.sparkSession.sparkContext.defaultParallelism)
+    val a = withNorm.select(col("media_id").as("id_a"), col("feature").as("fa"), col("norm").as("na"))
+    val b = withNorm.select(col("media_id").as("id_b"), col("feature").as("fb"), col("norm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos",
+        aggregate(zip_with(col("fa"), col("fb"), (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   /** Query-shaped entry: features + per-kind stats over synthetic media. */

@@ -1,0 +1,96 @@
+package graft.spatial
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.cells.CellIndex
+
+/** Raster↔vector operators over the cell grid (north rule: "H3/S2 index,
+  * point-in-polygon, kNN, raster↔vector").
+  *
+  * A raster here is a Dataset of occupied grid cells with a value column —
+  * the natural distributed representation at planet scale (dense arrays
+  * don't shard; (cell, v) rows partition, prune and join like any fact
+  * table).
+  */
+object Raster {
+
+  /** Vector→raster: aggregate points into (cell, v = point count) at
+    * `level`. One shuffle (the groupBy); the cell id is the codegen'd
+    * z-order expression, not a UDF. */
+  def rasterize(spark: SparkSession, points: DataFrame, level: Int): DataFrame = {
+    graft.functions.GeoFunctions.register(spark)
+    points
+      .withColumn("cell",
+        graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), level))
+      .groupBy("cell").agg(count(lit(1)).as("v"))
+  }
+
+  /** Raster→vector zonal statistics: per zone polygon, the count and sum of
+    * raster cells whose CENTROID falls inside it (the standard raster
+    * convention; zones may overlap — a cell contributes to every zone
+    * containing it). Zones are a broadcast BoundaryCellIndex: cover-cell
+    * prejoin + exact PIP refine per centroid, so the raster fact side
+    * streams through one narrow pass + one groupBy. */
+  def zonalStats(spark: SparkSession, raster: DataFrame,
+                 zones: Seq[SpatialBoundary], coverLevel: Int): DataFrame = {
+    import spark.implicits._
+    val idx = spark.sparkContext.broadcast(BoundaryCellIndex.build(zones, coverLevel))
+    raster.select(col("cell"), col("v")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val ix = idx.value
+        it.flatMap { case (cell, v) =>
+          val (clat, clon) = CellIndex.centroid(cell)
+          ix.containing(clat, clon).iterator.map(z => (z.id, v))
+        }
+      }
+      .toDF("boundary_id", "v")
+      .groupBy("boundary_id")
+      .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"))
+  }
+
+  /** Raster→vector component labeling: 4-neighbor connected components of
+    * the occupied cells, as iterative min-label propagation (the same
+    * checkpointed-loop pattern as R1/R3 — no sequential state, each round
+    * one shuffle on the linear key; rounds = component diameter).
+    *
+    * Input: (i LONG, j LONG) occupied grid coordinates at one level.
+    * Output: (i, j, comp) where comp = min linear key (i*gridN + j)
+    * reachable in the component. */
+  def connectedComponents(spark: SparkSession, cells: DataFrame,
+                          gridN: Long, maxIters: Int = 64): DataFrame = {
+    import spark.implicits._
+    val ids = cells.select(col("i"), col("j"), (col("i") * gridN + col("j")).as("key"))
+      .distinct().cache()
+    // undirected 4-adjacency as directed key pairs: emit each cell's four
+    // neighbor COORDINATES, equi-join against the occupied set
+    val probes = ids.select(col("key").as("src"),
+        explode(array(
+          struct((col("i") + 1).as("i"), col("j").as("j")),
+          struct((col("i") - 1).as("i"), col("j").as("j")),
+          struct(col("i").as("i"), (col("j") + 1).as("j")),
+          struct(col("i").as("i"), (col("j") - 1).as("j")))).as("n"))
+      .select(col("src"), col("n.i").as("i"), col("n.j").as("j"))
+    val edges = probes.join(ids.select(col("i"), col("j"), col("key").as("dst")), Seq("i", "j"))
+      .select(col("src"), col("dst"))
+      .cache()
+
+    var labels = ids.select(col("key"), col("key").as("comp"))
+    var converged = false
+    var iter = 0
+    var prevSum = -1L
+    while (!converged && iter < maxIters) {
+      val pushed = edges.join(labels, col("src") === col("key"))
+        .select(col("dst").as("key"), col("comp"))
+      val next = labels.unionByName(pushed)
+        .groupBy("key").agg(min(col("comp")).as("comp"))
+        .localCheckpoint(true)
+      // min-label sums are monotone non-increasing; a fixed sum ⇒ fixpoint
+      val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
+      if (s == prevSum) converged = true
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    ids.join(labels, "key").select(col("i"), col("j"), col("comp"))
+  }
+}

@@ -104,10 +104,36 @@ class NearDupAnnSpec extends AnyFunSuite {
     assert(feats.count() == 500)
     assert(feats.filter(size(col("feature")) =!= 16).count() == 0)
     val kinds = feats.select("kind").distinct().collect().map(_.getString(0)).toSet
-    assert(kinds == Set("image", "audio"))
+    assert(kinds == Set("image", "audio", "video"))
+    // video frame sampling: frames_sampled = ceil(nBlocks16 / stride)
+    val v = feats.filter(col("kind") === "video")
+      .select("n_bytes", "frames_sampled").collect()
+    assert(v.nonEmpty)
+    for (r <- v) {
+      val blocks = (r.getLong(0) + 15) / 16
+      assert(r.getInt(1) == ((blocks + 3) / 4).toInt,
+        s"video frames ${r.getInt(1)} != ceil($blocks/4)")
+    }
     // deterministic: same seed → same features
     val again = MultiModal.extractFeatures(MultiModal.synthMedia(spark, 500L)).toDF()
     assert(feats.select("media_id", "feature").exceptAll(
       again.select("media_id", "feature")).count() == 0)
+  }
+
+  test("multimodal resize kernel block-averages exactly; near-dup finds planted twins") {
+    // 4x2 grid of bytes → 2x1: each output pixel = mean of its 2x2 block
+    val px = Array[Byte](10, 20, 30, 40, 50, 60, 70, 80)
+    val out = MultiModal.resizeStub(px, w = 4, h = 2, tw = 2, th = 1)
+    assert(out.toSeq == Seq[Byte](35, 55)) // mean(10,20,50,60), mean(30,40,70,80)
+
+    // planted duplicate media → identical features → cosine 1 pair
+    import spark.implicits._
+    val media = MultiModal.synthMedia(spark, 100L)
+    val dup = media.filter(col("media_id") === 5L)
+      .map(m => m.copy(media_id = 9999L))
+    val feats = MultiModal.extractFeatures(media.union(dup)).toDF()
+    val pairs = MultiModal.mediaNearDup(feats)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((5L, 9999L)), s"planted twin not found in $pairs")
   }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.cells.CellIndex
+import graft.spatial.{Raster, SpatialBoundary}
+import graft.synth.SynthWorld
+
+/** Raster↔vector operators (north rule): rasterize, zonal statistics,
+  * connected-component vectorization. */
+class RasterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("rasterize groups points into their level cells with exact counts") {
+    val pts = Seq((41.0, 1.0), (41.0, 1.0001), (45.0, 5.0)).toDF("lat", "lon")
+    val got = Raster.rasterize(spark, pts, level = 8).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = CellIndex.cellOf(41.0, 1.0, 8)
+    val c2 = CellIndex.cellOf(45.0, 5.0, 8)
+    assert(got == Map(c1 -> 2L, c2 -> 1L))
+  }
+
+  test("zonal stats: overlapping zones each count cells whose centroid they contain") {
+    val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
+    val zones: Seq[SpatialBoundary] = graft.web.Flagship.boundaries(cfg)
+    // two points in one level-8 cell inside city (100)*1000+0; one elsewhere
+    val pts = Seq((40.5, 0.5), (40.5001, 0.5001), (46.5, 6.5)).toDF("lat", "lon")
+    val raster = Raster.rasterize(spark, pts, level = 8)
+    val got = Raster.zonalStats(spark, raster, zones, coverLevel = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // country sees both cells and all 3 points
+    assert(got(1L) == (2L, 3L))
+    // province 100 (x [0,4), y [40,44)) sees the first cell only
+    assert(got(100L) == (1L, 2L))
+    // city 100*1000+... containing (40.5, 0.5): ci=0, cj=0 → 100000
+    assert(got(100000L) == (1L, 2L))
+    // province of (46.5, 6.5): pi=1, pj=1 → 103; its city ci=1,cj=1 → 103003
+    assert(got(103L) == (1L, 1L) && got(103003L) == (1L, 1L))
+  }
+
+  test("connected components label an L-tromino and an isolated cell correctly") {
+    // L-shape: (5,5),(5,6),(6,5); isolated: (9,9); diagonal (7,7) NOT
+    // connected to the L (4-adjacency)
+    val cells = Seq((5L, 5L), (5L, 6L), (6L, 5L), (9L, 9L), (7L, 7L)).toDF("i", "j")
+    val got = Raster.connectedComponents(spark, cells, gridN = 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lComp = 5L * 16 + 5
+    assert(got((5L, 5L)) == lComp && got((5L, 6L)) == lComp && got((6L, 5L)) == lComp)
+    assert(got((9L, 9L)) == 9L * 16 + 9)
+    assert(got((7L, 7L)) == 7L * 16 + 7)
+  }
+
+  test("connected components: a 40-cell snake converges within its diameter") {
+    // a connected path of 40 cells — worst-case diameter for propagation:
+    // alternate right/down moves
+    var (ci, cj) = (0L, 0L)
+    val path = scala.collection.mutable.ArrayBuffer((ci, cj))
+    for (k <- 1 until 40) { if (k % 2 == 0) ci += 1 else cj += 1; path += ((ci, cj)) }
+    val got = Raster.connectedComponents(spark, path.toSeq.toDF("i", "j"), gridN = 64L)
+      .select("comp").distinct().collect()
+    assert(got.length == 1 && got(0).getLong(0) == 0L)
+  }
+}
