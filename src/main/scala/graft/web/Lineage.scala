@@ -72,16 +72,30 @@ object Lineage {
       .map(_.stripSuffix(".json")).toSeq.sorted
   }
 
-  /** Read the table as of a snapshot: only the buckets that snapshot
-    * committed (partition pruning does the rest). */
-  def readSnapshot(spark: SparkSession, outDir: String, snapshotId: String): DataFrame = {
+  private def snapshotBuckets(outDir: String, snapshotId: String): Array[Long] = {
     val p = Paths.get(outDir, "_snapshots", s"$snapshotId.json")
     require(Files.exists(p), s"unknown snapshot $snapshotId")
     val txt = Files.readString(p)
-    val buckets = """"buckets"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
+    """"buckets"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(txt)
       .map(_.group(1)).getOrElse("")
       .split(",").filter(_.trim.nonEmpty).map(_.trim.toLong)
-    spark.read.parquet(s"$outDir/data").filter(col("bucket").isin(buckets: _*))
+  }
+
+  /** Read the table as of a snapshot: only the buckets that snapshot
+    * committed (partition pruning does the rest). */
+  def readSnapshot(spark: SparkSession, outDir: String, snapshotId: String): DataFrame =
+    spark.read.parquet(s"$outDir/data")
+      .filter(col("bucket").isin(snapshotBuckets(outDir, snapshotId): _*))
+
+  /** Incremental read (Iceberg-style changelog consumption): the rows of
+    * buckets committed in `toSnapshot` but NOT in `fromSnapshot` — what a
+    * downstream consumer processes to catch up between snapshots. Bucket
+    * partitioning makes this pure partition pruning. */
+  def readIncrement(spark: SparkSession, outDir: String,
+                    fromSnapshot: String, toSnapshot: String): DataFrame = {
+    val before = snapshotBuckets(outDir, fromSnapshot).toSet
+    val added = snapshotBuckets(outDir, toSnapshot).filterNot(before)
+    spark.read.parquet(s"$outDir/data").filter(col("bucket").isin(added: _*))
   }
 
   /** Write `df` (which must carry `bucket` and `url` columns) partitioned by

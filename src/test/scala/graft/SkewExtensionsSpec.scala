@@ -65,5 +65,10 @@ class SkewExtensionsSpec extends AnyFunSuite {
       == half.toSeq)
     val asOfB = Lineage.readSnapshot(spark, outDir, "snap-b")
     assert(asOfB.count() == df.count())
+    // incremental read = exactly the buckets snap-b added over snap-a
+    val inc = Lineage.readIncrement(spark, outDir, "snap-a", "snap-b")
+    val incBuckets = inc.select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    assert(incBuckets.toSeq == buckets.drop(buckets.length / 2).toSeq)
+    assert(inc.count() + asOfA.count() == df.count())
   }
 }
