@@ -64,6 +64,35 @@ case class HaversineM(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+/** Static kernel for [[VecDot]] — shared by eval and generated code;
+  * iterates ArrayData directly (no intermediate array, the reason this
+  * beats `aggregate(zip_with(...))` which materializes a 64-element array
+  * per row). */
+object VecOps {
+  def dotF(a: org.apache.spark.sql.catalyst.util.ArrayData,
+           b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+}
+
+/** Allocation-free dot product over two ARRAY<FLOAT> columns (the ANN hot
+  * path: O(n²·dim) evaluations in exactTopK). */
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_dot"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotF(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VecOps.dotF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Column API + SQL registration for the geo expressions. Registration is
   * per-session; the Column helpers route through `call_function`, so
   * [[register]] must run once on the session first. */
@@ -76,8 +105,10 @@ object GeoFunctions {
     call_function("cell_parent", cell, lit(level))
   def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     call_function("haversine_m", lat1, lon1, lat2, lon2)
+  def vec_dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
 
-  /** Register cell_of / cell_parent / haversine_m for spark.sql(...). */
+  /** Register cell_of / cell_parent / haversine_m / vec_dot for spark.sql. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cell_of",
@@ -86,5 +117,7 @@ object GeoFunctions {
       es => CellParentAt(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("haversine_m",
       es => HaversineM(es), "built-in")
+    reg.createOrReplaceTempFunction("vec_dot",
+      es => VecDot(es(0), es(1)), "built-in")
   }
 }

@@ -119,17 +119,15 @@ object MultiModal {
     * IVF candidate generation (sim.Ann.ivfTopK) — features are the same
     * Array[Float] column either way. */
   def mediaNearDup(feats: DataFrame, minCosine: Double = 0.999): DataFrame = {
+    import graft.functions.GeoFunctions
+    GeoFunctions.register(feats.sparkSession)
     val withNorm = feats.select(col("media_id"), col("feature"))
-      .withColumn("norm",
-        sqrt(aggregate(col("feature"), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double"))))
+      .withColumn("norm", sqrt(GeoFunctions.vec_dot(col("feature"), col("feature"))))
       .repartition(feats.sparkSession.sparkContext.defaultParallelism)
     val a = withNorm.select(col("media_id").as("id_a"), col("feature").as("fa"), col("norm").as("na"))
     val b = withNorm.select(col("media_id").as("id_b"), col("feature").as("fb"), col("norm").as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos",
-        aggregate(zip_with(col("fa"), col("fb"), (x, y) => x.cast("double") * y.cast("double")),
-          lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")))
+      .withColumn("cos", GeoFunctions.vec_dot(col("fa"), col("fb")) / (col("na") * col("nb")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

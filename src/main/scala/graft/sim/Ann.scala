@@ -72,16 +72,19 @@ object Ann {
     }.toDF("vec_id", "rank", "neighbor_id", "cos_sim")
   }
 
-  /** cosine(a.embedding, b.embedding) from pre-computed norms — codegen'd
-    * higher-order functions, no UDF. */
+  /** cosine(a.embedding, b.embedding) from pre-computed norms — the
+    * allocation-free codegen [[graft.functions.VecDot]] expression (the
+    * higher-order aggregate(zip_with(...)) alternative materializes a
+    * dim-sized array per pair: GC-bound at n² pairs). Callers must have
+    * run GeoFunctions.register on the session. */
   private def cosine(qv: Column, cv: Column, qn: Column, cn: Column): Column =
-    aggregate(zip_with(qv, cv, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (a, x) => a + x) / (qn * cn)
+    graft.functions.GeoFunctions.vec_dot(qv, cv) / (qn * cn)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private def withNorm(df: DataFrame): DataFrame = {
+    graft.functions.GeoFunctions.register(df.sparkSession)
     df.withColumn("norm",
-      sqrt(aggregate(col("embedding"), lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double"))))
+      sqrt(graft.functions.GeoFunctions.vec_dot(col("embedding"), col("embedding"))))
+  }
 
   /** Exact cosine top-k, fully distributed: all-pairs join with norms
     * precomputed per row. Output (vec_id, rank, neighbor_id, cos_sim).

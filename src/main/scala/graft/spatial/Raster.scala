@@ -79,11 +79,22 @@ object Raster {
     var iter = 0
     var prevSum = -1L
     while (!converged && iter < maxIters) {
+      // (1) push the label across edges, (2) pointer-halve: follow the
+      // label one hop (comp := min(comp, comp(comp)) — comp is itself a
+      // cell key, so the self-join always hits). Halving turns the round
+      // count from O(component diameter) into O(log diameter).
       val pushed = edges.join(labels, col("src") === col("key"))
         .select(col("dst").as("key"), col("comp"))
-      val next = labels.unionByName(pushed)
+      val merged = labels.unionByName(pushed)
         .groupBy("key").agg(min(col("comp")).as("comp"))
-        .localCheckpoint(true)
+      val halved = merged.as("a")
+        .join(merged.select(col("key").as("ck"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.ck"))
+        .select(col("a.key").as("key"), least(col("a.comp"), col("b.ccomp")).as("comp"))
+      // NOT localCheckpoint: its LogicalRDD retains constraints that break
+      // the next round's unionByName on Spark 4.1 (key-not-found in
+      // rewriteConstraints); createDataFrame truncates lineage cleanly
+      val next = spark.createDataFrame(halved.rdd, halved.schema).cache()
       // min-label sums are monotone non-increasing; a fixed sum ⇒ fixpoint
       val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
       if (s == prevSum) converged = true
