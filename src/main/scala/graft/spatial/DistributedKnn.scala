@@ -25,14 +25,20 @@ object DistributedKnn {
     * Returns (id, nearest_tid, nearest_dist_m). Points with no target
     * within maxRing rings are dropped.
     *
+    * Rings are scanned in GEOMETRIC BATCHES ([0], [1], [2,4), [4,8), …):
+    * each round is a full shuffle barrier, so O(log maxRing) rounds beats
+    * one round per ring — at worst 2× the cells probed, and only for the
+    * few points still unresolved in late rounds.
+    *
     * Termination is exact: a point finalizes once its best distance is
     * within the geometric lower bound of all unscanned rings
-    * (r × minCellExtentM at the point's latitude — anisotropy-safe, same
-    * rule as the broadcast PointCellIndex). */
+    * (firstUnscannedRing × minCellExtentM at the point's latitude —
+    * anisotropy-safe, same rule as the broadcast PointCellIndex). */
   def nearest(spark: SparkSession, points: DataFrame, targets: DataFrame,
               level: Int, maxRing: Int = 64): DataFrame = {
-    val ringCells = udf { (lat: Double, lon: Double, r: Int) =>
-      CellIndex.ring(CellIndex.cellOf(lat, lon, level), r)
+    val ringBatch = udf { (lat: Double, lon: Double, lo: Int, hi: Int) =>
+      val center = CellIndex.cellOf(lat, lon, level)
+      (lo until hi).flatMap(r => CellIndex.ring(center, r)).distinct.toArray
     }
     val dist = udf { (lat: Double, lon: Double, tlat: Double, tlon: Double) =>
       CellIndex.haversineM(lat, lon, tlat, tlon)
@@ -45,25 +51,30 @@ object DistributedKnn {
     val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
     var unresolved = points.select("id", "lat", "lon").cache()
     var best: DataFrame = null // (id, lat, lon, tid, d, hit_ring)
-    var r = 0
-    while (r <= maxRing && !unresolved.isEmpty) {
+    var lo = 0
+    while (lo <= maxRing && !unresolved.isEmpty) {
+      val hi = math.min(if (lo < 2) lo + 1 else lo * 2, maxRing + 1) // [lo, hi)
       val cands = unresolved
-        .withColumn("cell", explode(ringCells(col("lat"), col("lon"), lit(r))))
+        .withColumn("cell",
+          explode(ringBatch(col("lat"), col("lon"), lit(lo), lit(hi))))
         .join(targetsByCell, "cell")
         .withColumn("d", dist(col("lat"), col("lon"), col("tlat"), col("tlon")))
-        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"), lit(r).as("hit_ring"))
+        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"), lit(lo).as("hit_ring"))
       val pool = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
       val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
       val roundBest = pool
         .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn")
         .cache()
-      // finalize when the remaining-rings lower bound exceeds the best
-      // distance; on the last ring finalize everything that has a candidate
+      // rings 0..hi-1 are scanned, so the first unscanned ring is hi and
+      // any target there is ≥ (hi-1) × minExtent away (the point may sit on
+      // its own cell's edge); finalize when the best distance is within
+      // that bound; after the last batch finalize everything with a
+      // candidate
       val finalized =
-        if (r == maxRing) roundBest
-        else roundBest.filter(col("d") <= lit(r) * minExtent(col("lat")))
-      // checkpoint `best` too: it accumulates a union per ring, and sparse
+        if (hi > maxRing) roundBest
+        else roundBest.filter(col("d") <= lit(hi - 1) * minExtent(col("lat")))
+      // checkpoint `best` too: it accumulates a union per round, and sparse
       // worlds (many empty rings) would otherwise blow up analysis time
       best = (if (best == null) roundBest
         else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest))
@@ -71,7 +82,7 @@ object DistributedKnn {
       unresolved = unresolved
         .join(finalized.select("id"), Seq("id"), "left_anti")
         .localCheckpoint(true)
-      r += 1
+      lo = hi
     }
     if (best == null)
       points.limit(0).select(col("id"),
