@@ -71,8 +71,21 @@ object PlacePipeline {
         (col("cls") === "bldg_plain" && tag("name").isNull))
 
     // every downstream branch (outer nodes, claims, streets ×2, junctions)
-    // re-reads this — cache the classified+meta join once
-    val withMeta = classified.join(metaDf, "bkey").cache()
+    // re-reads this — cache the classified+meta join once, with every
+    // tags-derived column computed HERE so the open string map never enters
+    // the cache or any shuffle (F2/F3 naming, P6 street)
+    val withMeta = classified
+      .withColumn("b_street",
+        when(col("cls") === "bldg_street", tag("addr:street")).otherwise(lit(null)))
+      .withColumn("b_name",
+        when(col("cls") === "bldg_street",
+          coalesce(tag("name"), concat(tag("addr:housenumber"), lit(" "), tag("addr:street"))))
+          .when(col("cls") === "bldg_plain", tag("name")))
+      .withColumn("s_name",
+        when(col("cls") === "highway", coalesce(tag("name"), tag("ref"), col("elem_key"))))
+      .drop("tags")
+      .join(metaDf, "bkey")
+      .cache()
 
     // ── outer names: every bare node in the extract (hierarchy.ml:151-156) ──
     val outerNodes = withMeta.filter(col("cls") === "outer")
@@ -85,12 +98,8 @@ object PlacePipeline {
     val wClaim = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
     val buildingsClaimed = withMeta
       .filter(col("cls").isin("bldg_street", "bldg_plain"))
-      .withColumn("street",
-        when(col("cls") === "bldg_street", tag("addr:street")).otherwise(lit(null)))
-      .withColumn("bname",
-        when(col("cls") === "bldg_street",
-          coalesce(tag("name"), concat(tag("addr:housenumber"), lit(" "), tag("addr:street"))))
-          .otherwise(tag("name")))
+      .withColumn("street", col("b_street"))
+      .withColumn("bname", col("b_name"))
       .filter(col("bname").isNotNull)
       .select("bkey", "elem_key", "street", "bname", "chain", "post_idx")
       .withColumn("rn", row_number().over(wClaim))
@@ -101,7 +110,7 @@ object PlacePipeline {
     // ── street candidates: highway ways and relations (hierarchy.ml:158-176) ──
     // F3 display name: name | ref | typed id string
     val streetCandidates = withMeta.filter(col("cls") === "highway")
-      .withColumn("street", coalesce(tag("name"), tag("ref"), col("elem_key")))
+      .withColumn("street", col("s_name"))
       .select("bkey", "kind", "elem_key", "street", "nds", "chain", "post_idx")
 
     val wayCandidates = streetCandidates.filter(col("kind") === "way")
