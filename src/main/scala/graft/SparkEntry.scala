@@ -342,12 +342,18 @@ object SparkEntry {
     // q26/q27/q29/q30: LSH band hashing + xxhash64/simhash internals have no
     // DuckDB equivalent — rows-only checks; exactness is covered by the
     // ScalaTest recall specs against brute force (NearDupSpec/AnnSpec).
+    // CAST to DOUBLE[]: DuckDB's list_cosine_similarity on FLOAT[] computes
+    // in single precision — a cosine sitting on a 4th-decimal rounding
+    // boundary (seen at sf0.001: pair 27/380 at 0.34785) then rounds the
+    // other way than our float64 dot product
     "q28_cosine_top1" ->
       """SELECT vec_id, neighbor_id, cos_r4 FROM (
            SELECT a.vec_id, b.vec_id AS neighbor_id,
-                  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_r4,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_r4,
                   row_number() OVER (PARTITION BY a.vec_id
-                    ORDER BY round(list_cosine_similarity(a.embedding, b.embedding), 4) DESC,
+                    ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                          CAST(b.embedding AS DOUBLE[])), 4) DESC,
                              b.vec_id ASC) AS rn
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          ) WHERE rn = 1""",
