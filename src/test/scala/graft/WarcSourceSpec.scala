@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.WarcSource
+import graft.synth.SynthWorld
+
+/** WARC source: round-trip, CRLF-in-payload safety, and the end-to-end
+  * flow WARC → pages shape → flagship geocode. */
+class WarcSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("WARC round-trip preserves url, timestamp and exact payload bytes") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val recs = Seq(
+      ("https://a.example/1", ts, "<html>\r\n\r\nbody with CRLFCRLF inside</html>".getBytes("UTF-8")),
+      ("https://a.example/2", new java.sql.Timestamp(ts.getTime + 1000),
+        Array.tabulate(300)(i => (SynthWorld.mix(i.toLong) & 0xff).toByte)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc")
+    java.nio.file.Files.write(dir.resolve("part-0.warc"), WarcSource.writeWarc(recs))
+
+    val got = WarcSource.readPages(spark, dir.toString)
+      .orderBy("url").collect()
+    assert(got.length == 2)
+    for (((url, t, payload), r) <- recs.zip(got)) {
+      assert(r.getString(0) == url)
+      assert(r.getTimestamp(1).getTime == t.getTime)
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]](2), payload))
+    }
+  }
+
+  test("non-response records are skipped; truncated tail does not throw") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val good = WarcSource.writeWarc(Seq(("https://a.example/ok", ts, "hi".getBytes)))
+    val warcinfo = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\ninfo\r\n\r\n")
+      .getBytes("UTF-8")
+    val truncated = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target".getBytes("UTF-8")
+    val all = warcinfo ++ good ++ truncated
+    val recs = WarcSource.parseRecords(all).toSeq
+    assert(recs.map(_._1) == Seq("https://a.example/ok"))
+  }
+
+  test("WARC pages flow end-to-end through the flagship geocode") {
+    val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
+      streetsPerCity = 3, buildingsPerStreet = 4, pages = 200L)
+    // synthesize pages, container them as WARC, read back, geocode
+    val pages = SynthWorld.pages(spark, cfg).collect()
+      .map(p => (p.url, p.warc_ts, p.html))
+    val dir = java.nio.file.Files.createTempDirectory("graft-warc-e2e")
+    java.nio.file.Files.write(dir.resolve("crawl-0.warc"), WarcSource.writeWarc(pages.take(100)))
+    java.nio.file.Files.write(dir.resolve("crawl-1.warc"), WarcSource.writeWarc(pages.drop(100)))
+
+    val fromWarc = WarcSource.readPages(spark, dir.toString)
+      .withColumn("text", expr("decode(html, 'UTF-8')")) // synth html wraps text
+      .withColumn("lang", lit("en"))
+    val geo = graft.web.Flagship.geocodePages(spark, fromWarc, cfg)
+    assert(geo.count() == 200)
+    assert(geo.filter(col("admin_chain").isNull).count() == 0)
+  }
+}
