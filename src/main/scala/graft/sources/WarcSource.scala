@@ -77,16 +77,30 @@ object WarcSource {
     }
   }
 
-  /** Read a directory of .warc files into the pages shape
+  /** Inflate a .warc.gz payload. Common Crawl gzips each record as its own
+    * member; GZIPInputStream reads concatenated members transparently, so
+    * one pass inflates the whole file. */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    var r = in.read(buf)
+    while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }
+    out.toByteArray
+  }
+
+  /** Read a directory of .warc / .warc.gz files into the pages shape
     * (url, warc_ts TIMESTAMP, html BINARY). */
   def readPages(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(dir)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .mapPartitions(_.flatMap(parseRecords))
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, content) =>
+        parseRecords(if (path.endsWith(".gz")) gunzip(content) else content)
+      })
       .toDF("url", "warc_date", "html")
       .select(col("url"),
         to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("warc_ts"),

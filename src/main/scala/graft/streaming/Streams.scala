@@ -29,6 +29,17 @@ object Streams {
       .groupBy(window(col("warc_ts"), "1 minute"), col("lang"))
       .agg(count(lit(1)).as("n_pages"))
 
+  /** Streaming exact dedup (the training-pipeline staple, §ext dedup):
+    * first occurrence of each text hash survives, later duplicates drop.
+    * dropDuplicatesWithinWatermark bounds the hash state to the watermark
+    * horizon — an unbounded-state dropDuplicates would OOM a long-running
+    * ingest at crawl scale. */
+  def dedupStream(pages: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    pages
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+
   // ── agent motion as keyed streaming state ──
 
   case class MotionEvent(agent: String, seq: Long, action: String, target: Long)

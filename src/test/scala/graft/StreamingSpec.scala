@@ -46,6 +46,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("lang").distinct().count() == 5)
   }
 
+  test("streaming dedup keeps one row per text hash with watermark-bounded state") {
+    import spark.implicits._
+    val mem = MemoryStream[(String, java.sql.Timestamp, String)](spark)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    mem.addData(
+      ("u1", t(0), "alpha text"), ("u2", t(1), "beta text"),
+      ("u3", t(2), "alpha text"), // dup of u1 within watermark
+      ("u4", t(3), "gamma text"))
+    val pages = mem.toDF().toDF("url", "warc_ts", "text")
+    val q = Streams.dedupStream(pages, watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("dedup_out").select("url").collect().map(_.getString(0)).toSet
+    assert(got == Set("u1", "u2", "u4"), s"got $got")
+  }
+
   test("flatMapGroupsWithState replays agent motion deterministically") {
     import spark.implicits._
     implicit val s = spark

@@ -30,6 +30,26 @@ class WarcSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("gzipped WARC with per-record members (the Common-Crawl layout) reads identically") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val recs = Seq(
+      ("https://gz.example/1", ts, "first".getBytes("UTF-8")),
+      ("https://gz.example/2", ts, "second".getBytes("UTF-8")))
+    // gzip EACH record as its own member, then concatenate — CC's layout
+    val out = new java.io.ByteArrayOutputStream()
+    for (r <- recs) {
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(graft.sources.WarcSource.writeWarc(Seq(r)))
+      g.finish()
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-warcgz")
+    java.nio.file.Files.write(dir.resolve("crawl.warc.gz"), out.toByteArray)
+    val got = WarcSource.readPages(spark, dir.toString).orderBy("url").collect()
+    assert(got.map(_.getString(0)).toSeq == recs.map(_._1))
+    assert(new String(got(0).getAs[Array[Byte]](2), "UTF-8") == "first")
+    assert(new String(got(1).getAs[Array[Byte]](2), "UTF-8") == "second")
+  }
+
   test("non-response records are skipped; truncated tail does not throw") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val good = WarcSource.writeWarc(Seq(("https://a.example/ok", ts, "hi".getBytes)))
