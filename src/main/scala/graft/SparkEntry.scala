@@ -146,6 +146,22 @@ object SparkEntry {
                                  .select(col("url").cast("long").as("point_id"),
                                    col("boundary_id"), col("admin_level"), col("admin_chain"))
                              }),
+    "q39_salted_join"    -> ((s, d) => {
+                               // skew-safe fact↔dim equi-join: probe side
+                               // salted, build side replicated per salt —
+                               // must equal the plain join (the oracle)
+                               val li = Relational.t(s, d, "lineitem")
+                                 .select(col("l_orderkey").as("orderkey"),
+                                   floor(col("l_quantity") * 100).cast("long").as("qty_cents"))
+                               val o = Relational.t(s, d, "orders")
+                                 .select(col("o_orderkey").as("orderkey"),
+                                   col("o_orderpriority"))
+                               graft.ops.Skew.saltedJoin(li, o, "orderkey",
+                                   salts = 16, spreadOn = col("qty_cents"))
+                                 .groupBy("o_orderpriority")
+                                 .agg(count(lit(1)).as("n"),
+                                   sum(col("qty_cents")).as("total"))
+                             }),
     "q37_zonal_stats"    -> ((s, d) => {
                                // raster↔vector: rasterize the points at
                                // level 8, then per-zone (all 21 rects,
@@ -417,6 +433,11 @@ object SparkEntry {
                 concat('Synthia>Province-', pi, '-', pj,
                        '>City-', 100 + pi*2 + pj, '-', ci, '-', cj) AS admin_chain
          FROM cell""",
+    "q39_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1""",
     "q37_zonal_stats" ->
       """WITH pts AS (
            SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,

@@ -38,4 +38,17 @@ object Skew {
   def saltedRepartition(df: DataFrame, numPartitions: Int, key: Column,
                         salts: Int, spreadOn: Column): DataFrame =
     df.repartition(numPartitions, key, saltCol(salts, spreadOn))
+
+  /** Skew-safe equi-join: the big probe side salts on `spreadOn`, the
+    * modest build side replicates once per salt, and the join key becomes
+    * (key, salt) — a hot key's rows spread across `salts` tasks even where
+    * AQE's runtime skew split can't apply (reused exchanges, aggregated
+    * pipelines). Result is exactly the plain equi-join (oracle q39). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, spreadOn: Column): DataFrame = {
+    val b = big.withColumn("_salt", saltCol(salts, spreadOn))
+    val s = small.withColumn("_salt",
+      explode(array((0 until salts).map(i => lit(i)): _*)))
+    b.join(s, Seq(key, "_salt")).drop("_salt")
+  }
 }
