@@ -62,23 +62,22 @@ object BotwCli {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(out), Assembly.toDot(state))
     }
 
-    // stats (S8); -id-parameter drops the ID atoms and their links
+    // stats (S8); the count identities live in PlaceStats.fromCounts
     val nJ = state.countCtrl("Junction")
     val nB = state.countCtrl("Boundary")
     val nS = state.countCtrl("Street")
     val nBu = state.countCtrl("Building")
-    val entityFactor = if (idParameter) 1 else 2
-    val idLinks = if (idParameter) 0L else nB + nS + nBu
-    val nEdges = idLinks + state.junctionEdges.select("edge_key").distinct().count()
+    val nHyper = state.junctionEdges.select("edge_key").distinct().count()
     val nOpen = state.junctionEdges.filter(col("edge_key").endsWith("@OPEN") ||
       col("edge_key").startsWith("node ")).select("edge_key").distinct().count()
-    println(s"Number of nodes: ${entityFactor * (nB + nS + nBu) + nJ}")
-    println(s"Number of edges: $nEdges")
-    println(s"Number of outer names:$nOpen")
-    println(s"Number of boundaries: $nB")
-    println(s"Number of streets: $nS")
-    println(s"Number of buildings: $nBu")
-    println(s"Number of junctions: $nJ")
+    val st = graft.hier.PlaceStats.fromCounts(nB, nS, nBu, nJ, nHyper, nOpen, idParameter)
+    println(s"Number of nodes: ${st.nNodes}")
+    println(s"Number of edges: ${st.nEdges}")
+    println(s"Number of outer names:${st.nOpenNames}")
+    println(s"Number of boundaries: ${st.nBoundaries}")
+    println(s"Number of streets: ${st.nStreets}")
+    println(s"Number of buildings: ${st.nBuildings}")
+    println(s"Number of junctions: ${st.nJunctions}")
 
     if (flag("-one-reaction") || flag("-all-reactions")) {
       val seed = flagArg("-seed").map(_.toLong).getOrElse(42L)

@@ -27,6 +27,22 @@ case class PlaceStats(
     nBoundaries: Long, nStreets: Long, nBuildings: Long, nJunctions: Long,
     nNodes: Long, nEdges: Long, nOpenNames: Long)
 
+object PlaceStats {
+  /** The S8 count identities, in ONE place (PlacePipeline.stats and the
+    * CLI's loaded-state stats both apply them): default mode gives every
+    * named entity an ID atom and an ID link; -id-parameter mode gives
+    * neither (hierarchy.ml:236-286 / builder.ml:86-101). */
+  def fromCounts(nB: Long, nS: Long, nBu: Long, nJ: Long,
+                 nHyperedges: Long, nOpen: Long, idParameter: Boolean): PlaceStats = {
+    val entityFactor = if (idParameter) 1 else 2
+    val idLinks = if (idParameter) 0L else nB + nS + nBu
+    PlaceStats(nB, nS, nBu, nJ,
+      nNodes = entityFactor * (nB + nS + nBu) + nJ,
+      nEdges = idLinks + nHyperedges,
+      nOpenNames = nOpen)
+  }
+}
+
 /** The reference's sequential builder (builder.ml:53-231 +
   * hierarchy.ml:70-234) re-derived as a shuffle-minimal Dataset pipeline.
   *
@@ -234,12 +250,7 @@ object PlacePipeline {
     val nE = eAgg.getLong(0)
     val nOpen = eAgg.getLong(1)
     val nJ = eAgg.getLong(2)
-    val entityFactor = if (idParameter) 1 else 2
-    val idLinks = if (idParameter) 0L else nB + nS + nBu
-    PlaceStats(nB, nS, nBu, nJ,
-      nNodes = entityFactor * (nB + nS + nBu) + nJ,
-      nEdges = idLinks + nE,
-      nOpenNames = nOpen)
+    PlaceStats.fromCounts(nB, nS, nBu, nJ, nE, nOpen, idParameter)
   }
 
   /** End-to-end build from a reference-format data directory. */

@@ -25,9 +25,12 @@ object Bucketing {
     spark.table(left).join(spark.table(right), key)
 
   /** True if the executed plan contains a shuffle exchange (broadcast
-    * exchanges don't count — they are the other no-shuffle strategy). */
+    * exchanges don't count — they are the other no-shuffle strategy).
+    * Matches the plan tree, not strings: ShuffleExchangeExec prints as
+    * "Exchange <partitioning>" and a substring test would also hit
+    * "BroadcastExchange …" or miss "Exchange SinglePartition". */
   def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("ShuffleExchange") ||
-      df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning") ||
-      df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning")
+    df.queryExecution.executedPlan.collectWithSubqueries {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.nonEmpty
 }

@@ -119,20 +119,24 @@ object Ann {
     */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3,
               c: Int = 64, nprobe: Int = 32, iters: Int = 5,
-              trainSampleMod: Long = 1L): DataFrame = {
+              maxTrainSamples: Long = 100000L): DataFrame = {
     import spark.implicits._
+    // NOT cached: at fact scale the corpus cannot be pinned anyway; every
+    // stage below is a narrow column-pruned scan, and an uncached frame
+    // cannot leak executor storage across invocations
     val rows = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
       .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("norm")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("unit"))
       .repartition(spark.sparkContext.defaultParallelism) // small scans land in 1 split
-      .cache()
 
     // spherical k-means trained DRIVER-LOCAL on a bounded hash-stratified
-    // sample (the FAISS posture: training never scans the full corpus — at
-    // 10^12 rows set trainSampleMod so ~10^6 rows survive, ≈500 MB; training
-    // is the bounded part, assignment/probing/re-rank stay distributed).
-    // Sorted collect + fixed iteration order make the centroids fully
-    // deterministic (§7.5), with zero Spark jobs per iteration.
+    // sample (the FAISS posture: training never scans the full corpus —
+    // the sampling mod is DERIVED from the corpus size so at most
+    // ~maxTrainSamples vectors ever reach the driver). Sorted collect +
+    // fixed iteration order make the centroids fully deterministic (§7.5),
+    // with zero Spark jobs per k-means iteration.
+    val total = rows.count()
+    val trainSampleMod = math.max(1L, total / maxTrainSamples)
     val sample = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
       .filter(r => trainSampleMod <= 1L ||
         math.floorMod(graft.synth.SynthWorld.mix(r._1), trainSampleMod) == 0L)
@@ -225,8 +229,9 @@ object Ann {
   def lshTopK(spark: SparkSession, dir: String, k: Int = 3,
               planes: Int = 64, bands: Int = 4): DataFrame = {
     import spark.implicits._
+    // uncached for the same reason as ivfTopK: a per-invocation cache that
+    // nothing unpersists leaks executor storage in long-lived sessions
     val rows = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
-      .cache()
     val perBand = planes / bands
     val banded = rows.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]

@@ -57,14 +57,22 @@ object WarcSource {
                 line.substring(i + 1).trim)
               else None
             }.toMap
-            val len = fields.get("content-length").flatMap(_.toIntOption).getOrElse(0)
-            val payloadStart = he + 4
-            val payloadEnd = math.min(n, payloadStart + len)
-            pos = payloadEnd
-            if (fields.get("warc-type").contains("response")) {
-              val url = fields.getOrElse("warc-target-uri", "")
-              val date = fields.getOrElse("warc-date", "")
-              nextRec = (url, date, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd))
+            // Content-Length is mandatory: a record without a parseable one
+            // cannot be skipped safely (scanning its payload for "WARC/"
+            // would fabricate records out of crawled pages ABOUT warc), so
+            // stop at the malformed record. Long-typed: ISO 28500 allows
+            // payloads past Int.MaxValue.
+            fields.get("content-length").flatMap(_.toLongOption).filter(_ >= 0) match {
+              case None => pos = n
+              case Some(len) =>
+                val payloadStart = he + 4
+                val payloadEnd = math.min(n.toLong, payloadStart.toLong + len).toInt
+                pos = payloadEnd
+                if (fields.get("warc-type").contains("response")) {
+                  val url = fields.getOrElse("warc-target-uri", "")
+                  val date = fields.getOrElse("warc-date", "")
+                  nextRec = (url, date, java.util.Arrays.copyOfRange(bytes, payloadStart, payloadEnd))
+                }
             }
           }
         }

@@ -61,6 +61,13 @@ object Raster {
     import spark.implicits._
     val ids = cells.select(col("i"), col("j"), (col("i") * gridN + col("j")).as("key"))
       .distinct().cache()
+    // empty raster: return the empty (i, j, comp) frame rather than NPE on
+    // the null fixpoint aggregate below
+    if (ids.isEmpty) {
+      ids.unpersist()
+      return cells.sparkSession.emptyDataFrame
+        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0L).as("comp"))
+    }
     // undirected 4-adjacency as directed key pairs: emit each cell's four
     // neighbor COORDINATES, equi-join against the occupied set
     val probes = ids.select(col("key").as("src"),

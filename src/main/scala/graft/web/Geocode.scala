@@ -123,7 +123,11 @@ object Geocode {
     val cached = indexCache.compute((coverLevel, tileLevel, snapLevel), (_, old) =>
       if (old != null && old.contentKey == contentKey) old
       else {
-        if (old != null) { old.b.destroy(); old.p.destroy() }
+        // unpersist, NOT destroy: a lazy DataFrame or in-flight micro-batch
+        // from a prior assign() may still hold the old broadcasts — destroy
+        // would fail those tasks; unpersist frees executor copies and lets
+        // stragglers re-fetch from the driver
+        if (old != null) { old.b.unpersist(false); old.p.unpersist(false) }
         CachedIdx(contentKey,
           spark.sparkContext.broadcast(BoundaryCellIndex.build(boundaries, coverLevel)),
           spark.sparkContext.broadcast(PointCellIndex.build(buildings, snapLevel)))

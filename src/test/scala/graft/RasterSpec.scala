@@ -51,6 +51,13 @@ class RasterSpec extends AnyFunSuite {
     assert(got((7L, 7L)) == 7L * 16 + 7)
   }
 
+  test("connected components on an empty raster return an empty frame") {
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    val got = Raster.connectedComponents(spark, empty, gridN = 16L)
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("i", "j", "comp"))
+  }
+
   test("connected components: a 40-cell snake converges within its diameter") {
     // a connected path of 40 cells — worst-case diameter for propagation:
     // alternate right/down moves

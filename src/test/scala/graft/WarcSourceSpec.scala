@@ -61,6 +61,21 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(recs.map(_._1) == Seq("https://a.example/ok"))
   }
 
+  test("malformed or oversized Content-Length stops the parse instead of fabricating records") {
+    // payload that CONTAINS a fake WARC record — must never be parsed as one
+    val fake = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://evil/x\r\n" +
+      "Content-Length: 2\r\n\r\nhi\r\n\r\n"
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a/1\r\n\r\n" +
+      fake).getBytes("UTF-8")
+    assert(WarcSource.parseRecords(noLen).isEmpty, "missing Content-Length must stop")
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://a/2\r\n" +
+      "Content-Length: 3000000000\r\n\r\nclipped").getBytes("UTF-8")
+    val recs = WarcSource.parseRecords(huge).toSeq
+    // >Int.MaxValue length parses as Long and clamps to the file tail
+    assert(recs.map(_._1) == Seq("https://a/2"))
+    assert(new String(recs.head._3, "UTF-8") == "clipped")
+  }
+
   test("WARC pages flow end-to-end through the flagship geocode") {
     val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
       streetsPerCity = 3, buildingsPerStreet = 4, pages = 200L)
