@@ -88,9 +88,21 @@ object Ann {
 
   /** Exact cosine top-k, fully distributed: all-pairs join with norms
     * precomputed per row. Output (vec_id, rank, neighbor_id, cos_sim).
-    * No collect — the production-shaped exact path (q28). */
-  def exactTopK(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    * No collect — the production-shaped exact path (q28).
+    *
+    * GUARDED: exact-against-the-whole-corpus is definitionally O(n²) pairs;
+    * past `maxRows` that is a quadratic job no cluster should run by
+    * accident, so the call FAILS LOUDLY instead of silently launching it
+    * (the caller either raises the bound deliberately or routes through
+    * [[ivfTopK]], whose candidate count is sub-quadratic by construction). */
+  def exactTopK(spark: SparkSession, dir: String, k: Int = 3,
+                maxRows: Long = 65536L): DataFrame = {
     val e = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
+    val n = e.count() // narrow column-pruned scan; negligible vs the n² join
+    require(n <= maxRows,
+      s"exactTopK is an all-pairs O(n²) join: corpus has $n rows > maxRows=$maxRows " +
+        s"(~${n * n} candidate pairs). Use ivfTopK (sub-quadratic candidates, " +
+        "measured recall >= 0.9) or raise maxRows deliberately.")
     // spread the streamed side: a small parquet scan lands in one split, and
     // the nested-loop pair generation must fan out across cores
     val q = e.repartition(spark.sparkContext.defaultParallelism)
@@ -105,6 +117,24 @@ object Ann {
       .select("vec_id", "rank", "neighbor_id", "cos_sim")
   }
 
+  /** The IVF tuning law AS CODE (not a comment): `c` grows with √n so the
+    * average cluster holds √n vectors, and `nprobe` stays a small constant,
+    * so the scan fraction nprobe/c DECAYS as the corpus grows —
+    * candidate pairs ≈ n · nprobe · (n/c) = nprobe · n^1.5 when c = √n,
+    * sub-quadratic at every n (the round-2 defaults c=64/nprobe=32 scanned a
+    * fixed 50% of the corpus per query = quadratic at any n).
+    *
+    * At the small harness corpora (n ≤ 4096) this reproduces c=64/nprobe=32
+    * exactly — the configuration whose recall@3 was measured at 0.94 — so
+    * q29 is unchanged. `c` is capped by the training-sample bound (k-means
+    * cannot place more centroids than samples) and by 65536 (centroid
+    * broadcast ≤ ~34 MB at 64 dims). */
+  def ivfParams(n: Long, maxTrainSamples: Long = 100000L): (Int, Int) = {
+    val c = math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)
+      .min(maxTrainSamples).min(65536L).toInt
+    (c, math.min(32, c))
+  }
+
   /** IVF (inverted-file) ANN — the scale path for top-k on diffuse corpora
     * (measured here: top-1 cosine ≈ 0.36, barely 3σ above random — at that
     * similarity hyperplane-LSH banding needs ~80% of all pairs for 0.9
@@ -114,12 +144,39 @@ object Ann {
     * centroids (tiny, broadcast); every vector is assigned to its argmax-dot
     * centroid; a query probes its `nprobe` nearest centroids. Candidates
     * flow as ID PAIRS through one shuffle on cluster id; embeddings join
-    * back for the exact cosine re-rank. Tuning law: c ~ √n, recall rises
-    * with nprobe/c (cost ∝ n·nprobe/c per query batch).
-    */
+    * back for the exact cosine re-rank.
+    *
+    * c/nprobe default to 0 = AUTO: derived from the corpus size by
+    * [[ivfParams]] (the FAISS posture — parameters come from the data, like
+    * maxTrainSamples already did; a user calling the default at 10⁸ vectors
+    * gets a sub-quadratic job, not a silent 50%-scan quadratic one). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3,
-              c: Int = 64, nprobe: Int = 32, iters: Int = 5,
+              c: Int = 0, nprobe: Int = 0, iters: Int = 5,
               maxTrainSamples: Long = 100000L): DataFrame = {
+    val (rows, cands) = ivfCandidates(spark, dir, c, nprobe, iters, maxTrainSamples)
+    val scored = cands
+      .join(rows.select(col("vec_id"), col("embedding").as("qv"), col("norm").as("qn")), "vec_id")
+      .join(rows.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
+        col("norm").as("cn")), "cand_id")
+      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cand_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Candidate-pair count for the given corpus/params — the measurable
+    * scale contract (NearDupAnnSpec asserts it stays ≤ nprobe·n^1.5·slack
+    * and grows sub-quadratically across corpus sizes). */
+  def ivfCandidatePairs(spark: SparkSession, dir: String, c: Int = 0, nprobe: Int = 0,
+                        iters: Int = 5, maxTrainSamples: Long = 100000L): Long =
+    ivfCandidates(spark, dir, c, nprobe, iters, maxTrainSamples)._2.count()
+
+  /** Shared IVF front half: train centroids, assign, probe; returns
+    * (rows-with-norms, candidate id pairs). */
+  private def ivfCandidates(spark: SparkSession, dir: String, c: Int, nprobe: Int,
+                            iters: Int, maxTrainSamples: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
     // NOT cached: at fact scale the corpus cannot be pinned anyway; every
     // stage below is a narrow column-pruned scan, and an uncached frame
@@ -136,14 +193,17 @@ object Ann {
     // fixed iteration order make the centroids fully deterministic (§7.5),
     // with zero Spark jobs per k-means iteration.
     val total = rows.count()
+    val (cAuto, nprobeAuto) = ivfParams(total, maxTrainSamples)
+    val cEff = if (c > 0) c else cAuto
+    val nprobeEff = math.min(if (nprobe > 0) nprobe else nprobeAuto, cEff)
     val trainSampleMod = math.max(1L, total / maxTrainSamples)
     val sample = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
       .filter(r => trainSampleMod <= 1L ||
         math.floorMod(graft.synth.SynthWorld.mix(r._1), trainSampleMod) == 0L)
       .collect().sortBy(_._1).map(_._2.toArray)
     require(sample.nonEmpty, "empty training sample")
-    var centroids = Array.tabulate(math.min(c, sample.length))(i =>
-      sample((i.toLong * sample.length / math.min(c, sample.length)).toInt).clone())
+    var centroids = Array.tabulate(math.min(cEff, sample.length))(i =>
+      sample((i.toLong * sample.length / math.min(cEff, sample.length)).toInt).clone())
     var it = 0
     while (it < iters) {
       val dim = centroids(0).length
@@ -170,13 +230,20 @@ object Ann {
       it += 1
     }
 
+    // SINGLE-SLOT broadcast lifetime (same posture as Geocode.indexCache):
+    // a long-lived session calling ivfTopK repeatedly would otherwise
+    // accumulate one centroid broadcast per call. The previous broadcast is
+    // unpersist(false)-ed — NOT destroyed — so a still-lazy plan from an
+    // earlier call re-fetches it from the driver instead of failing.
     val bcFinal = spark.sparkContext.broadcast(centroids)
+    val prev = lastCentroids.getAndSet(bcFinal)
+    if (prev != null) prev.unpersist(false)
     val assign = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
       .map { case (id, u) => (id, argmaxDot(u.toArray, bcFinal.value)) }
       .toDF("cand_id", "cluster")
     val probes = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
       .flatMap { case (id, u) =>
-        topClusters(u.toArray, bcFinal.value, nprobe).map(cl => (id, cl))
+        topClusters(u.toArray, bcFinal.value, nprobeEff).map(cl => (id, cl))
       }.toDF("vec_id", "cluster")
 
     // one shuffle on cluster id, ids only; each candidate lives in exactly
@@ -184,17 +251,12 @@ object Ann {
     val cands = probes.join(assign, "cluster")
       .filter(col("vec_id") =!= col("cand_id"))
       .select(col("vec_id"), col("cand_id"))
-    val scored = cands
-      .join(rows.select(col("vec_id"), col("embedding").as("qv"), col("norm").as("qn")), "vec_id")
-      .join(rows.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        col("norm").as("cn")), "cand_id")
-      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cos_sim"))
+    (rows, cands)
   }
+
+  private val lastCentroids =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
 
   private def argmaxDot(u: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MinValue

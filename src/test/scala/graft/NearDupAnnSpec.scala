@@ -67,6 +67,47 @@ class NearDupAnnSpec extends AnyFunSuite {
     assert(recall >= 0.9, f"IVF recall@3 too low: $recall%.3f")
   }
 
+  test("ivfParams: √n centroid law, constant nprobe, caps") {
+    assert(Ann.ivfParams(500L) == (64, 32))       // small corpora: the measured-recall config
+    assert(Ann.ivfParams(4096L) == (64, 32))
+    assert(Ann.ivfParams(16384L) == (128, 32))    // √n past the 64 floor
+    assert(Ann.ivfParams(100000000L) == (10000, 32))
+    assert(Ann.ivfParams(100000000L, maxTrainSamples = 1000L) == (1000, 32)) // ≤ train bound
+    val huge = Ann.ivfParams(Long.MaxValue)
+    assert(huge._1 == 65536 && huge._2 == 32)     // broadcast cap
+  }
+
+  test("IVF candidate pairs follow the sub-quadratic law at two corpus sizes") {
+    // diffuse 16-dim corpora at n and 4n; candidate pairs must track
+    // nprobe·n²/c = nprobe·n^1.5 under the auto √n law — a fixed scan
+    // fraction (the round-2 defaults) would grow them 16× from n to 4n
+    def mkCorpus(n: Int): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivfscale-$n").toString
+      (0 until n).map { i =>
+        (i.toLong, Array.tabulate(16)(d =>
+          ((graft.synth.SynthWorld.mix(i.toLong * 7919 + d) % 1000L) / 1000.0f)), 0)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      dir
+    }
+    val (n1, n2) = (4096, 16384)
+    val p1 = Ann.ivfCandidatePairs(spark, mkCorpus(n1)) // auto: c=64,  nprobe=32
+    val p2 = Ann.ivfCandidatePairs(spark, mkCorpus(n2)) // auto: c=128, nprobe=32
+    def law(n: Long) = 32.0 * n * math.sqrt(n.toDouble) // nprobe·n^1.5
+    assert(p1 <= 2 * law(n1), s"pairs($n1)=$p1 exceeds 2x the n^1.5 law ${2 * law(n1)}")
+    assert(p2 <= 2 * law(n2), s"pairs($n2)=$p2 exceeds 2x the n^1.5 law ${2 * law(n2)}")
+    val ratio = p2.toDouble / p1
+    assert(ratio <= 10.0, // exact law: 8; quadratic (fixed fraction): 16
+      s"pairs grew ${ratio}x from n=$n1 to n=$n2 — scan fraction is not decaying")
+  }
+
+  test("exactTopK fails loudly past its row bound instead of launching an n² job") {
+    val e = intercept[IllegalArgumentException] {
+      Ann.exactTopK(spark, sf, k = 1, maxRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("ivfTopK"))
+  }
+
   test("hyperplane LSH (64 planes / 4 bands) recalls planted high-similarity pairs") {
     // LSH banding is a THRESHOLD structure: 16-bit buckets recall cos≈0.999
     // pairs w.p. >0.999 while unrelated vectors collide w.p. ~2^-16/band
