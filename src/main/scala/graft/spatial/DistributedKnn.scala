@@ -48,8 +48,20 @@ object DistributedKnn {
         .apply(col("tlat"), col("tlon")))
       .cache()
 
+    // eager plan-truncated materialization (NOT localCheckpoint: its blocks
+    // cannot be freed without killing the lineage, and its LogicalRDD keeps
+    // constraints that break later unions on Spark 4.1). createDataFrame
+    // truncates the PLAN (flat analysis per round) while the RDD lineage
+    // stays recomputable — so freed intermediates are a cache decision, not
+    // a correctness one.
+    def materialize(df: DataFrame): DataFrame = {
+      val out = spark.createDataFrame(df.rdd, df.schema).cache()
+      out.count()
+      out
+    }
+
     val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
-    var unresolved = points.select("id", "lat", "lon").cache()
+    var unresolved = materialize(points.select("id", "lat", "lon"))
     var best: DataFrame = null // (id, lat, lon, tid, d, hit_ring)
     var lo = 0
     while (lo <= maxRing && !unresolved.isEmpty) {
@@ -63,9 +75,8 @@ object DistributedKnn {
       val pool = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
       val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
-      val roundBest = pool
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn")
-        .cache()
+      val roundBest = materialize(pool
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn"))
       // rings 0..hi-1 are scanned, so the first unscanned ring is hi and
       // any target there is ≥ (hi-1) × minExtent away (the point may sit on
       // its own cell's edge); finalize when the best distance is within
@@ -74,20 +85,37 @@ object DistributedKnn {
       val finalized =
         if (hi > maxRing) roundBest
         else roundBest.filter(col("d") <= lit(hi - 1) * minExtent(col("lat")))
-      // checkpoint `best` too: it accumulates a union per round, and sparse
-      // worlds (many empty rings) would otherwise blow up analysis time
-      best = (if (best == null) roundBest
+      // `best` is materialized per round too: it accumulates a union per
+      // round, and sparse worlds (many empty rings) would otherwise blow up
+      // analysis time
+      val newBest = materialize(if (best == null) roundBest
         else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest))
-        .localCheckpoint(true)
-      unresolved = unresolved
-        .join(finalized.select("id"), Seq("id"), "left_anti")
-        .localCheckpoint(true)
+      val newUnresolved = materialize(
+        unresolved.join(finalized.select("id"), Seq("id"), "left_anti"))
+      // the previous round's state and this round's scratch are dead now —
+      // free them (round-2 leak: these accumulated for the session lifetime)
+      if (best != null) best.unpersist(false)
+      unresolved.unpersist(false)
+      roundBest.unpersist(false)
+      best = newBest
+      unresolved = newUnresolved
       lo = hi
     }
-    if (best == null)
+    targetsByCell.unpersist(false)
+    if (best == null) {
+      unresolved.unpersist(false)
       points.limit(0).select(col("id"),
         lit(null).cast("long").as("nearest_tid"),
         lit(null).cast("double").as("nearest_dist_m"))
-    else best.select(col("id"), col("tid").as("nearest_tid"), col("d").as("nearest_dist_m"))
+    } else {
+      // the returned frame is the ONLY cache this call leaves behind;
+      // callers may unpersist it once consumed (DistributedKnnSpec asserts
+      // the persistent-RDD count returns to baseline after that)
+      val out = materialize(best.select(col("id"), col("tid").as("nearest_tid"),
+        col("d").as("nearest_dist_m")))
+      best.unpersist(false)
+      unresolved.unpersist(false)
+      out
+    }
   }
 }

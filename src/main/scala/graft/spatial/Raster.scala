@@ -84,7 +84,12 @@ object Raster {
     var labels = ids.select(col("key"), col("key").as("comp"))
     var converged = false
     var iter = 0
-    var prevSum = -1L
+    // convergence via DECIMAL(38,0) sum: keys are i*gridN+j, so at fine
+    // grids (gridN ≈ 2³¹) a Long sum of ~10⁹ labels overflows — under ANSI
+    // mode that is a job-killing exception, and without ANSI a wrapped sum
+    // could silently alias two different label states. 38 digits cannot
+    // overflow (n·maxKey ≤ 10¹⁰·2⁶³ < 10³⁰).
+    var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIters) {
       // (1) push the label across edges, (2) pointer-halve: follow the
       // label one hop (comp := min(comp, comp(comp)) — comp is itself a
@@ -103,12 +108,25 @@ object Raster {
       // rewriteConstraints); createDataFrame truncates lineage cleanly
       val next = spark.createDataFrame(halved.rdd, halved.schema).cache()
       // min-label sums are monotone non-increasing; a fixed sum ⇒ fixpoint
-      val s = next.agg(sum(col("comp"))).collect()(0).getLong(0)
-      if (s == prevSum) converged = true
+      val s = next.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0)
+      if (prevSum != null && s.compareTo(prevSum) == 0) converged = true
       prevSum = s
+      // the previous round's cache is dead once `next` is materialized (the
+      // agg above populated it) — free it instead of pinning one DataFrame
+      // per round for the session lifetime
+      if (iter > 0) labels.unpersist(false)
       labels = next
       iter += 1
     }
-    ids.join(labels, "key").select(col("i"), col("j"), col("comp"))
+    // materialize the output, then release every intermediate cache: the
+    // returned frame is the ONLY pinned artifact of this call (callers may
+    // unpersist it when consumed — asserted by RasterSpec's hygiene test)
+    val joined = ids.join(labels, "key").select(col("i"), col("j"), col("comp"))
+    val out = spark.createDataFrame(joined.rdd, joined.schema).cache()
+    out.count()
+    ids.unpersist(false)
+    edges.unpersist(false)
+    labels.unpersist(false)
+    out
   }
 }

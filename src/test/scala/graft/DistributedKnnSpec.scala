@@ -49,6 +49,20 @@ class DistributedKnnSpec extends AnyFunSuite {
     assert(secs < 120.0, f"sparse ring walk took $secs%.1f s — plan blowup")
   }
 
+  test("nearest pins only its result; unpersist returns the session to baseline") {
+    val points = (0L until 50L).map(i =>
+      (i, 44.0 + (i % 10) * 0.001, 4.0 + (i / 10) * 0.001)).toDF("id", "lat", "lon")
+    val targets = Seq((1L, 44.005, 4.002), (2L, 44.5, 4.5)).toDF("tid", "tlat", "tlon")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val r1 = DistributedKnn.nearest(spark, points, targets, level = 12)
+    val r2 = DistributedKnn.nearest(spark, points, targets, level = 12)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 2,
+      "targetsByCell / per-round best / unresolved must all be freed")
+    r1.unpersist(true)
+    r2.unpersist(true)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
+  }
+
   test("points with no target within maxRing are dropped, not mis-assigned") {
     val points = Seq((1L, 0.0, 0.0)).toDF("id", "lat", "lon")
     val targets = Seq((9L, 45.0, 90.0)).toDF("tid", "tlat", "tlon")

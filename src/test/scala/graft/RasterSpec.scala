@@ -58,6 +58,36 @@ class RasterSpec extends AnyFunSuite {
     assert(got.columns.toSeq == Seq("i", "j", "comp"))
   }
 
+  test("fine-grid CC (gridN = 2^31, keys ~2^62) converges under ANSI mode") {
+    // keys ≈ 2^62: a Long SUM of six such labels overflows (old convergence
+    // test), which under ANSI mode was a job-killing exception; the
+    // decimal(38,0) sum cannot overflow
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val gridN = 1L << 31
+    val big = gridN - 2
+    val cells = Seq((big, 5L), (big, 6L), (big + 1, 5L),
+      (big, 100L), (big + 1, 100L), (big + 1, 101L)).toDF("i", "j")
+    val got = Raster.connectedComponents(spark, cells, gridN).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val c1 = big * gridN + 5
+    val c2 = big * gridN + 100
+    assert(got((big, 5L)) == c1 && got((big, 6L)) == c1 && got((big + 1, 5L)) == c1)
+    assert(got((big, 100L)) == c2 && got((big + 1, 100L)) == c2 && got((big + 1, 101L)) == c2)
+  }
+
+  test("connectedComponents pins only its result; unpersist returns to baseline") {
+    val cells = Seq((5L, 5L), (5L, 6L), (6L, 5L), (9L, 9L)).toDF("i", "j")
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val r1 = Raster.connectedComponents(spark, cells, gridN = 16L)
+    val r2 = Raster.connectedComponents(spark, cells, gridN = 16L)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline + 2,
+      "each call must pin exactly its materialized result")
+    r1.unpersist(true)
+    r2.unpersist(true)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline,
+      "unpersisting the results must return the session to baseline")
+  }
+
   test("connected components: a 40-cell snake converges within its diameter") {
     // a connected path of 40 cells — worst-case diameter for propagation:
     // alternate right/down moves
