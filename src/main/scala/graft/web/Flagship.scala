@@ -26,10 +26,13 @@ object Flagship {
     * partitioned pages table; generation never sits in the hot path). */
   def geocodePages(spark: SparkSession, pages: DataFrame, cfg: SynthWorld.Config): DataFrame = {
     graft.functions.GeoFunctions.register(spark) // idempotent, per-session
-    val parsed = Geocode.geoparse(pages)
+    // geoparsePresent: ONE rlike in the Filter (pushed to the scan), no
+    // regexp_extract copies in any Filter condition (PLANS.md step (3))
+    val parsed = Geocode.geoparsePresent(pages)
     val bs = boundaries(cfg)
     val bld = SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
-    Geocode.assign(spark, parsed, bs, bld, CoverLevel, TileLevel, SnapLevel)
+    Geocode.assign(spark, parsed, bs, bld, CoverLevel, TileLevel, SnapLevel,
+      assumeCoords = true)
       // native codegen expression, not a UDF (SURVEY.md §4.3)
       .withColumn("bucket", graft.functions.GeoFunctions.cell_parent(col("cell_id"), BucketLevel))
   }

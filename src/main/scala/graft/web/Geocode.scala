@@ -46,6 +46,25 @@ object Geocode {
         substring_index(col("geo_m"), ",", -1).cast("double")))
       .drop("geo_m")
 
+  /** Geoparse for the flagship hot path: pages WITHOUT a marker are dropped
+    * up front by a single cheap RLIKE predicate — the one regex in the plan's
+    * Filter, pushed against the scan — and the surviving rows extract
+    * coordinates without a `when` guard. The round-1/round-2 shape filtered
+    * on lat.isNotNull AFTER extraction, which Catalyst pushed down as FOUR
+    * regexp_extract copies in the Filter condition; here the single
+    * evaluation is structural, not a codegen-subexpression accident.
+    * Output rows and values are identical to
+    * geoparse(pages).filter(lat.isNotNull && lon.isNotNull): the pattern
+    * guarantees both captures cast to non-null doubles. */
+  def geoparsePresent(pages: DataFrame): DataFrame =
+    pages
+      .filter(col("text").rlike(GeoPattern))
+      .withColumn("geo_m", regexp_extract(col("text"), GeoPattern, 0))
+      .withColumn("lat",
+        substring_index(substring_index(col("geo_m"), ":", -1), ",", 1).cast("double"))
+      .withColumn("lon", substring_index(col("geo_m"), ",", -1).cast("double"))
+      .drop("geo_m")
+
   /** Gazetteer fallback: pages with no coordinate marker are matched by
     * place-name mention against a broadcast gazetteer (name → centroid). */
   def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame): DataFrame = {
@@ -110,9 +129,14 @@ object Geocode {
   private val indexCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), CachedIdx]()
 
+  /** `assumeCoords = true` skips the defensive null filter — callers that
+    * already guarantee non-null coordinates ([[geoparsePresent]]) use it so
+    * the filter's pushed-down copy of the coordinate extraction (4 regexps
+    * in the round-2 plan) never reaches the Filter condition. */
   def assign(spark: SparkSession, parsed: DataFrame,
              boundaries: Seq[SpatialBoundary], buildings: Seq[(Long, Double, Double)],
-             coverLevel: Int, tileLevel: Int, snapLevel: Int): DataFrame = {
+             coverLevel: Int, tileLevel: Int, snapLevel: Int,
+             assumeCoords: Boolean = false): DataFrame = {
     // content-derived key: equal-sized but different dimension sets
     // must NOT collide (ids + geometry bytes + points all hashed)
     val bHash = boundaries.foldLeft(17L)((h, b) =>
@@ -137,8 +161,8 @@ object Geocode {
     val helper = new GeoHelper(bIdx, pIdx, tileLevel)
     val geo = udf { (lat: Double, lon: Double) => helper(lat, lon) }
 
-    parsed
-      .filter(col("lat").isNotNull && col("lon").isNotNull)
+    (if (assumeCoords) parsed
+     else parsed.filter(col("lat").isNotNull && col("lon").isNotNull))
       .select(col("url"), col("warc_ts"), col("lang"), col("lat"), col("lon"),
         geo(col("lat"), col("lon")).as("g"))
       .select(col("url"), col("warc_ts"), col("lang"), col("lat"), col("lon"),

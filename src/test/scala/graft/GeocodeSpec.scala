@@ -45,6 +45,36 @@ class GeocodeSpec extends AnyFunSuite {
     assert(Geocode.checkExtractionInvariant(pages) == 0L)
   }
 
+  test("geoparsePresent equals geoparse + null filter, rows and values") {
+    val pages = Seq(
+      ("u1", "w", "geo:41.123456,1.654321 marker", "en"),
+      ("u2", "w", "no marker at all", "en"),
+      ("u3", "w", "prefix geo:-45.000001,2.000002 suffix", "en"))
+      .toDF("url", "warc_ts", "text", "lang")
+    val strict = Geocode.geoparsePresent(pages)
+      .select("url", "lat", "lon").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    val loose = Geocode.geoparse(pages)
+      .filter(col("lat").isNotNull && col("lon").isNotNull)
+      .select("url", "lat", "lon").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSet
+    assert(strict == loose)
+    assert(strict.map(_._1) == Set("u1", "u3"))
+  }
+
+  test("flagship plan: no regexp_extract reaches any Filter condition") {
+    val dir = Flagship.materializePages(spark, cfg)
+    val plan = Flagship.geocodePages(spark, spark.read.parquet(dir), cfg)
+      .queryExecution.executedPlan.toString
+    val filterLines = plan.linesIterator.filter(_.contains("Filter")).toSeq
+    assert(filterLines.nonEmpty, "expected a pushed-down marker filter")
+    assert(!filterLines.exists(_.contains("regexp_extract")),
+      s"regexp_extract leaked into a Filter:\n${filterLines.mkString("\n")}")
+    // the marker test is a single RLIKE predicate (it also echoes in the
+    // scan's DataFilters line); the extraction regexes live in the Project
+    assert(plan.contains("RLIKE"), "marker RLIKE filter missing from the plan")
+  }
+
   test("gazetteer fallback geocodes marker-less pages by place-name mention") {
     val gaz = Seq(("City-100-0-0", 41.0, 1.0), ("City-100-0-1", 43.0, 1.0))
       .toDF("place_name", "g_lat", "g_lon")
