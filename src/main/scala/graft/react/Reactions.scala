@@ -141,22 +141,31 @@ object Reactions {
     matches.orderBy(col("agent"), col("target")).limit(1).collect()
       .headOption.map(r => reparent(s, r.getLong(0), r.getLong(1)))
 
-  /** BRS `step` (builder.mli:124-133): enumerate EVERY occurrence of a
+  /** BRS `step` (builder.mli:124-133): enumerate occurrences of a
     * reparenting rule and return one successor state per occurrence —
     * library-surface parity with the reference's step (the binary itself
-    * only ever calls apply/fix). `matches` is one of the *Matches Datasets. */
-  def step(s: BigraphState, matches: DataFrame): Seq[BigraphState] =
-    matches.orderBy(col("agent"), col("target")).collect().toSeq
+    * only ever calls apply/fix). `matches` is one of the *Matches Datasets.
+    *
+    * BOUNDED: the reference materializes every SAT occurrence in memory;
+    * here the canonical-order LIMIT is pushed into the query, so a large
+    * state cannot flood the driver (`maxOccurrences` occurrences collected,
+    * ids only). Successors are built lazily (LazyList) — a caller that
+    * consumes only the first few never constructs the rest. */
+  def step(s: BigraphState, matches: DataFrame,
+           maxOccurrences: Int = 1024): Seq[BigraphState] =
+    LazyList.from(
+        matches.orderBy(col("agent"), col("target")).limit(maxOccurrences).collect())
       .map(r => reparent(s, r.getLong(0), r.getLong(1)))
 
   /** BRS `random_step` (builder.mli:129-133): apply one occurrence chosen
     * uniformly by a SEEDED pick over the canonical order (determinism rule
-    * §7.5 replaces the reference's Random.self_init). */
+    * §7.5 replaces the reference's Random.self_init). floorMod, not .abs:
+    * Long.MinValue.abs is negative. */
   def randomStep(s: BigraphState, matches: DataFrame, seed: Long): Option[BigraphState] = {
     val ms = matches.orderBy(col("agent"), col("target")).collect()
     if (ms.isEmpty) None
     else {
-      val r = ms((graft.synth.SynthWorld.mix(seed).abs % ms.length).toInt)
+      val r = ms(math.floorMod(graft.synth.SynthWorld.mix(seed), ms.length.toLong).toInt)
       Some(reparent(s, r.getLong(0), r.getLong(1)))
     }
   }

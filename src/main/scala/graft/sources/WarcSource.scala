@@ -90,7 +90,14 @@ object WarcSource {
     * one pass inflates the whole file. */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // initial capacity sized as a LONG: `bytes.length * 4` in Int overflows
+    // negative for inputs in (512 MB, 1 GB] — exactly the per-file unit this
+    // source targets. The inflated output itself is still bounded by the
+    // JVM's 2 GB Array[Byte] ceiling (ByteArrayOutputStream throws past it);
+    // files inflating larger need the member-splitting input format noted
+    // in the header.
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(Int.MaxValue - 8L, bytes.length.toLong * 4).toInt)
     val buf = new Array[Byte](64 * 1024)
     var r = in.read(buf)
     while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }

@@ -109,6 +109,45 @@ class ReactionsSpec extends AnyFunSuite {
     assert(Reactions.randomStep(s, Reactions.enterMatches(s, "Agent"), 1L).isEmpty)
   }
 
+  test("BRS step is bounded: maxOccurrences caps the enumerated successors") {
+    var s = Assembly.toState(spark, doverTables)
+    val bs = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
+      .limit(3).collect().map(_.getString(2))
+    s = Reactions.addAgentToBuilding(s, bs(0), "m1")
+    s = Reactions.addAgentToBuilding(s, bs(1), "m2")
+    s = Reactions.addAgentToBuilding(s, bs(2), "m3")
+    val m = Reactions.leaveMatches(s, "Building")
+    assert(Reactions.step(s, m).length == 3)
+    // the bound caps the driver collect AND keeps the canonical prefix
+    val bounded = Reactions.step(s, m, maxOccurrences = 2)
+    assert(bounded.length == 2)
+    val all = Reactions.step(s, m)
+    for ((b, a) <- bounded.zip(all.take(2)))
+      assert(b.places.orderBy("id").collect().toSeq ==
+        a.places.orderBy("id").collect().toSeq)
+  }
+
+  test("dot parity vs the reference golden (Dover): node and edge counts match") {
+    // the golden JSON IS the reference's Dover bigraph; our dot renders its
+    // place nodes (ID atoms are a serialization artifact, not drawn), the
+    // nesting forest as solid arcs, and each k-port junction hyperedge as a
+    // (k-1)-arc dashed chain — so expected counts derive directly from the
+    // reference structure
+    val s = Assembly.loadJson(spark, "/root/reference/output/10-2604777-Dover.json")
+    val dot = Assembly.toDot(s, maxNodes = 10000)
+    val nodeLines = dot.linesIterator.count(_.matches("""  n\d+ \[label=.*"""))
+    val solid = dot.linesIterator.count(_.matches("""  n\d+ -> n\d+;"""))
+    val dashed = dot.linesIterator.count(_.endsWith("[style=dashed dir=none];"))
+    val nPlaces = s.places.count()
+    val nNest = s.places.filter(col("parent") >= 0).count()
+    val nHyper = s.junctionEdges.groupBy("edge_key").count()
+      .filter(col("count") > 1).agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(nPlaces == 1 + 391 + 158 + 1084) // Dover golden control counts
+    assert(nodeLines == nPlaces, s"dot nodes $nodeLines != places $nPlaces")
+    assert(solid == nNest, s"dot solid arcs $solid != nesting edges $nNest")
+    assert(dashed == nHyper, s"dot dashed arcs $dashed != hyperedge chain arcs $nHyper")
+  }
+
   test("-id-parameter mode: nodes = B+S+Bu+J, edges = junction links only, loader round-trips") {
     val stDefault = PlacePipeline.stats(doverTables)
     val stParam = PlacePipeline.stats(doverTables, idParameter = true)
