@@ -16,6 +16,8 @@ import graft.react.Reactions
   *     -seed <n>            building pick seed (replaces Random.self_init, F7)
   *     -id-parameter        names in ctrl params, no ID atoms/links (botw.ml:186-188)
   *     -write-dot <path>    S7 dot sink (botw.ml:185, 44-57)
+  *     -bfs <maxStates>     BRS bfs state-space exploration (builder.mli:140-150)
+  *     -sim <steps>         BRS seeded random walk (builder.mli:152-160)
   *
   * Prints the S8 stats block (hierarchy.ml:236-286) in the reference's
   * format, then per-reaction timings.
@@ -87,7 +89,8 @@ object BotwCli {
           col("b.parent") === col("p.id") && col("p.ctrl") === "Street")
         .select(col("b.name")).distinct().orderBy("name").collect().map(_.getString(0))
       require(pool.nonEmpty, "no buildings in streets")
-      val pick = pool((graft.synth.SynthWorld.mix(seed).abs % pool.length).toInt)
+      // floorMod, not .abs: Long.MinValue.abs is still negative
+      val pick = pool(math.floorMod(graft.synth.SynthWorld.mix(seed), pool.length.toLong).toInt)
       println(s"[botw] picked building: $pick")
       state = timed("add_agent_to_building")(
         Reactions.addAgentToBuilding(state, pick, "agent-0"))
@@ -109,6 +112,24 @@ object BotwCli {
         step("connect_to_nearby_agent")(Reactions.connectToNearbyAgent(state))
       }
       println(s"[botw] agent at: ${state.whereIs("agent-0")}")
+
+      // BRS exploration surface (builder.mli:140-160)
+      val brsRules: Seq[(String, graft.react.BigraphState => org.apache.spark.sql.DataFrame)] = Seq(
+        "leave_building" -> (s => Reactions.leaveMatches(s, "Building")),
+        "enter_building" -> (s => Reactions.enterMatches(s, "Building", Some("Street"))),
+        "move_across_linked_streets" -> (s => Reactions.moveAcrossMatches(s)),
+        "leave_street" -> (s => Reactions.leaveMatches(s, "Street")),
+        "enter_street" -> (s => Reactions.enterMatches(s, "Street")))
+      for (m <- flagArg("-bfs")) timed("bfs") {
+        val tg = Reactions.bfs(state, brsRules, maxStates = m.toInt)
+        println(s"[botw] bfs: ${tg.states.length} states, ${tg.edges.size} transitions" +
+          (if (tg.truncated) " (truncated at max)" else ""))
+      }
+      for (n <- flagArg("-sim")) timed("sim") {
+        val (end, taken, trace) = Reactions.sim(state, brsRules, steps = n.toInt, seed = seed)
+        println(s"[botw] sim: $taken steps [${trace.mkString(", ")}]; " +
+          s"agent at: ${end.whereIs("agent-0")}")
+      }
     }
     spark.stop()
   }

@@ -170,6 +170,126 @@ object Reactions {
     }
   }
 
+  /** Canonical identity of a state: sorted (id, ctrl, name, parent) rows +
+    * sorted contact pairs. Node ids are stable across reactions (rewrites
+    * only change parent pointers / add links), so two states are isomorphic
+    * for BRS purposes iff their canons are equal — no subgraph-isomorphism
+    * solver needed (SURVEY.md §2.9). Collects to the driver: exploration
+    * states are bounded by construction (the reference holds its whole
+    * transition graph in memory too). */
+  private def canon(s: BigraphState, dropCache: Boolean)
+      : (Vector[(Long, String, String, Long)], Vector[(Long, Long)]) = {
+    val p = s.places.select(col("id"), col("ctrl"), col("name"), col("parent")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toVector
+    val c = s.contacts.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toVector
+    // reparent marks its output cached; exploration materialized it via the
+    // collect above — drop the blocks so bfs never accumulates caches
+    // (dropCache=false for caller-owned states like s0, whose cache is not
+    // ours to free)
+    if (dropCache) s.places.unpersist(false)
+    (p, c)
+  }
+
+  /** Rebuild a state from its canon as flat local relations — plan depth
+    * O(1) regardless of how many reactions produced it, nothing cached. */
+  private def ofCanon(spark: SparkSession,
+                      k: (Vector[(Long, String, String, Long)], Vector[(Long, Long)])): BigraphState = {
+    import spark.implicits._
+    BigraphState(k._1.toDF("id", "ctrl", "name", "parent"),
+      // junction edges are invariant under every reaction rule; bfs/sim
+      // thread the initial state's frame through (see below)
+      null, k._2.toDF("agent_a", "agent_b"))
+  }
+
+  /** The transition system explored by [[bfs]]: canonical states (index 0 =
+    * s0) and labeled edges (fromState, ruleName, toState). `truncated` is
+    * true when maxStates stopped the exploration (the reference's MAX
+    * exception, builder.mli:139). */
+  case class TransitionGraph(states: IndexedSeq[BigraphState],
+                             edges: Seq[(Int, String, Int)],
+                             truncated: Boolean)
+
+  /** BRS `bfs` (builder.mli:140-150): breadth-first exploration of the
+    * reachable state space under named reparenting rules, with exact
+    * canonical dedup (a state reached twice — e.g. enter then leave — is
+    * ONE node of the transition graph). Bounded by `maxStates` and by
+    * `maxOccurrencesPerRule` per expansion, so a large world cannot flood
+    * the driver. Deterministic: rules fire in given order, occurrences in
+    * canonical (agent, target) order. */
+  def bfs(s0: BigraphState,
+          rules: Seq[(String, BigraphState => DataFrame)],
+          maxStates: Int = 256,
+          maxOccurrencesPerRule: Int = 64): TransitionGraph = {
+    val sp = s0.spark
+    val k0 = canon(s0, dropCache = false)
+    val states = scala.collection.mutable.ArrayBuffer(ofCanon(sp, k0).copy(junctionEdges = s0.junctionEdges))
+    val seen = scala.collection.mutable.HashMap(k0 -> 0)
+    val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
+    var truncated = false
+    var frontier = List(0)
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[Int]
+      for (si <- frontier; (name, matcher) <- rules;
+           succ <- step(states(si), matcher(states(si)), maxOccurrencesPerRule)) {
+        val k = canon(succ, dropCache = true)
+        seen.get(k) match {
+          case Some(ti) => edges += ((si, name, ti))
+          case None if states.length >= maxStates => truncated = true
+          case None =>
+            val ti = states.length
+            states += ofCanon(sp, k).copy(junctionEdges = s0.junctionEdges)
+            seen(k) = ti
+            edges += ((si, name, ti))
+            next += ti
+        }
+      }
+      frontier = next.toList
+    }
+    TransitionGraph(states.toIndexedSeq, edges.toSeq, truncated)
+  }
+
+  /** BRS `sim` (builder.mli:152-160): seeded random walk — at each step all
+    * rule occurrences are enumerated in canonical order and ONE is chosen
+    * uniformly by the seeded mix (determinism rule §7.5 replaces the
+    * reference's Random.self_init). Stops at `steps` or at deadlock (no
+    * occurrence — the reference's DEADLOCK). Returns the final state, the
+    * number of steps taken, and the trace of fired rule names. */
+  def sim(s0: BigraphState,
+          rules: Seq[(String, BigraphState => DataFrame)],
+          steps: Int, seed: Long,
+          maxOccurrencesPerRule: Int = 1024): (BigraphState, Int, Seq[String]) = {
+    var s = s0
+    var t = 0
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dead = false
+    while (t < steps && !dead) {
+      val occs = rules.flatMap { case (name, matcher) =>
+        matcher(s).orderBy(col("agent"), col("target")).limit(maxOccurrencesPerRule)
+          .collect().map(r => (name, r.getLong(0), r.getLong(1)))
+      }
+      if (occs.isEmpty) dead = true
+      else {
+        val (name, agent, target) =
+          occs(math.floorMod(graft.synth.SynthWorld.mix(seed ^ t.toLong), occs.length.toLong).toInt)
+        val nextState = reparent(s, agent, target)
+        // drop the superseded state's cache marks (s0's cache belongs to the
+        // caller); the plan over it stays recomputable
+        if (s ne s0) s.places.unpersist(false)
+        // same plan-collapse cadence as fix(): without it the stacked
+        // point-update projections grow analysis cost unboundedly
+        s = if ((t + 1) % 16 == 0) {
+          val tr = nextState.copy(places = truncateLineage(nextState.places))
+          nextState.places.unpersist(false) // the truncated copy supersedes it
+          tr
+        } else nextState
+        trace += name
+        t += 1
+      }
+    }
+    (s, t, trace.toSeq)
+  }
+
   /** Truncate a DataFrame's logical plan without carrying stale constraints
     * (plain localCheckpoint's LogicalRDD keeps constraints that break later
     * unions — observed on Spark 4.1). */

@@ -59,4 +59,20 @@ object Flagship {
   def runResumable(spark: SparkSession, cfg: SynthWorld.Config, outDir: String,
                    snapshotId: String): Lineage.RunResult =
     Lineage.run(spark, geocode(spark, cfg), outDir, snapshotId)
+
+  /** End-to-end ingest, the reference's fetch→build→write lifecycle
+    * (SURVEY.md §3.1) over the Common-Crawl container format: WARC files →
+    * (url, warc_ts, html) → deterministic text extraction (the byte-identical
+    * invariant, BASELINE.json:15) → geoparse → spatial join + tile + snap →
+    * lineage-committed bucket-partitioned table. Resume granularity is the
+    * lineage bucket: a killed ingest reruns only buckets without manifests. */
+  def ingestWarc(spark: SparkSession, warcDir: String, cfg: SynthWorld.Config,
+                 outDir: String, snapshotId: String): Lineage.RunResult = {
+    val extract = udf(Geocode.extractText)
+    val pages = graft.sources.WarcSource.readPages(spark, warcDir)
+      .withColumn("text", extract(col("html")))
+      .withColumn("lang", lit("und")) // WARC carries no language field
+      .drop("html") // geocode reads text only; don't haul payload bytes along
+    Lineage.run(spark, geocodePages(spark, pages, cfg), outDir, snapshotId)
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.react.{BigraphState, Reactions}
+
+/** BRS `bfs`/`sim` (reference builder.mli:140-160): bounded state-space
+  * exploration with exact canonical dedup, and the seeded random walk. */
+class BrsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Boundary 0 ⊃ {street 1 ⊃ building 3, street 2}; junctions 4∈s1, 5∈s2
+    * share hyperedge e1 (so move_across_linked_streets links s1↔s2);
+    * agent 10 starts inside the building. Reachable agent positions:
+    * building, s1, s2, boundary — exactly 4 canonical states. */
+  private def world(): BigraphState = BigraphState(
+    Seq(
+      (0L, "Boundary", "B", -1L),
+      (1L, "Street", "s1", 0L),
+      (2L, "Street", "s2", 0L),
+      (3L, "Building", "b", 1L),
+      (4L, "Junction", "n4", 1L),
+      (5L, "Junction", "n5", 2L),
+      (10L, "Agent", "a", 3L)).toDF("id", "ctrl", "name", "parent"),
+    Seq(("e1", 4L), ("e1", 5L)).toDF("edge_key", "place_id"),
+    Seq.empty[(Long, Long)].toDF("agent_a", "agent_b"))
+
+  private val rules: Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)] = Seq(
+    "leave_building" -> (s => Reactions.leaveMatches(s, "Building")),
+    "enter_building" -> (s => Reactions.enterMatches(s, "Building", Some("Street"))),
+    "move_across" -> (s => Reactions.moveAcrossMatches(s)),
+    "leave_street" -> (s => Reactions.leaveMatches(s, "Street")),
+    "enter_street" -> (s => Reactions.enterMatches(s, "Street")))
+
+  test("bfs explores the full reachable space with exact canonical dedup") {
+    val tg = Reactions.bfs(world(), rules)
+    assert(!tg.truncated)
+    assert(tg.states.length == 4,
+      s"agent ∈ {building, s1, s2, boundary} — got ${tg.states.length} states")
+    // b→s1; s1→{b, s2, 0}; s2→{s1, 0}; 0→{s1, s2}
+    assert(tg.edges.size == 8, s"expected 8 labeled transitions, got ${tg.edges}")
+    val byRule = tg.edges.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byRule == Map("leave_building" -> 1, "enter_building" -> 1,
+      "move_across" -> 2, "leave_street" -> 2, "enter_street" -> 2))
+    // state 0 is s0: the agent sits in the building
+    assert(tg.states(0).whereIs("a").map(_._2) == Some("Building"))
+    // deterministic: a second exploration yields the identical graph
+    val tg2 = Reactions.bfs(world(), rules)
+    assert(tg2.edges == tg.edges && tg2.states.length == tg.states.length)
+  }
+
+  test("bfs respects maxStates and reports truncation (the reference's MAX)") {
+    val tg = Reactions.bfs(world(), rules, maxStates = 2)
+    assert(tg.truncated)
+    assert(tg.states.length == 2)
+    // every recorded edge stays within the admitted states
+    assert(tg.edges.forall { case (f, _, t) => f < 2 && t < 2 })
+  }
+
+  test("sim is seeded-deterministic and the walk stays in the reachable space") {
+    val (end1, n1, trace1) = Reactions.sim(world(), rules, steps = 12, seed = 99L)
+    val (_, n2, trace2) = Reactions.sim(world(), rules, steps = 12, seed = 99L)
+    assert(n1 == 12 && n2 == 12 && trace1 == trace2)
+    val pos = end1.whereIs("a").map(_._2)
+    assert(Set[Option[String]](Some("Building"), Some("Street"), Some("Boundary")).contains(pos))
+    // a different seed takes a different walk (with overwhelming probability
+    // over 12 steps × ≥1 branching states)
+    val (_, _, trace3) = Reactions.sim(world(), rules, steps = 12, seed = 100L)
+    assert(trace3 != trace1)
+  }
+
+  test("sim stops at deadlock like the reference's DEADLOCK") {
+    // a world with no junction links and no streets: the only rule that
+    // could fire has no occurrence
+    val dead = BigraphState(
+      Seq((0L, "Boundary", "B", -1L), (3L, "Building", "b", 0L),
+        (10L, "Agent", "a", 3L)).toDF("id", "ctrl", "name", "parent"),
+      Seq.empty[(String, Long)].toDF("edge_key", "place_id"),
+      Seq.empty[(Long, Long)].toDF("agent_a", "agent_b"))
+    val (_, n, trace) = Reactions.sim(dead,
+      Seq("move_across" -> (s => Reactions.moveAcrossMatches(s))), steps = 5, seed = 1L)
+    assert(n == 0 && trace.isEmpty)
+  }
+
+  test("bfs leaves no cached state frames behind") {
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    Reactions.bfs(world(), rules)
+    assert(spark.sparkContext.getPersistentRDDs.size == baseline)
+  }
+}

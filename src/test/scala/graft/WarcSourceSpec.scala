@@ -93,4 +93,44 @@ class WarcSourceSpec extends AnyFunSuite {
     assert(geo.count() == 200)
     assert(geo.filter(col("admin_chain").isNull).count() == 0)
   }
+
+  test("WARC ingest (fetch->build->write) resumes a killed run without recomputing finished buckets") {
+    import graft.web.{Flagship, Lineage}
+    val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
+      streetsPerCity = 3, buildingsPerStreet = 4, pages = 400L)
+    val pages = SynthWorld.pages(spark, cfg).collect().map(p => (p.url, p.warc_ts, p.html))
+    val warcDir = java.nio.file.Files.createTempDirectory("graft-warc-ingest")
+    pages.grouped(100).zipWithIndex.foreach { case (g, i) =>
+      java.nio.file.Files.write(warcDir.resolve(s"crawl-$i.warc"), WarcSource.writeWarc(g.toSeq))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-ingest-out").toString
+
+    val r1 = Flagship.ingestWarc(spark, warcDir.toString, cfg, outDir, "snap-1")
+    assert(r1.skipped.isEmpty && r1.pending.nonEmpty && r1.pending.length > 1)
+    val total = spark.read.parquet(s"$outDir/data").count()
+    assert(total == 400L)
+
+    // simulate a mid-ingest kill: some buckets never completed — their
+    // manifests and data are absent
+    val victims = r1.pending.take(r1.pending.length / 2)
+    for (b <- victims) {
+      java.nio.file.Files.delete(
+        java.nio.file.Paths.get(outDir, "_manifests", s"bucket-$b.json"))
+      val dataDir = java.nio.file.Paths.get(outDir, "data", s"bucket=$b")
+      java.nio.file.Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.delete(p))
+    }
+
+    // the rerun recomputes ONLY the killed buckets
+    val r2 = Flagship.ingestWarc(spark, warcDir.toString, cfg, outDir, "snap-2")
+    assert(r2.pending.sorted.toSeq == victims.sorted.toSeq,
+      s"rerun must recompute exactly the killed buckets, got ${r2.pending}")
+    assert(r2.skipped.sorted.toSeq == r1.pending.filterNot(victims.contains).sorted.toSeq)
+
+    // store is complete and lineage-consistent again
+    val out = spark.read.parquet(s"$outDir/data")
+    assert(out.count() == 400L)
+    assert(out.select("url").distinct().count() == 400L)
+    assert(Lineage.audit(spark, outDir).isEmpty)
+  }
 }
