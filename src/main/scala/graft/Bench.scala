@@ -105,11 +105,43 @@ object Bench {
       status += name -> st
     }
 
+    // end-to-end WARC ingest (the reference's fetch→build→write lifecycle,
+    // SURVEY.md §3.1): WARC container files → pages → extract → geoparse →
+    // spatial join → lineage-committed bucket table. Container files are
+    // setup (idempotent per config); the timed region is the whole ingest.
+    locally {
+      val iCfg = benchCfg(200000L)
+      val warcDir = s"${sys.props("java.io.tmpdir")}/graft-warc-bench-${iCfg.pages}"
+      if (!new java.io.File(s"$warcDir/_DONE").exists()) {
+        new java.io.File(warcDir).mkdirs()
+        val pages = SynthWorld.pages(spark, iCfg).collect()
+        pages.grouped(pages.length / 32 + 1).zipWithIndex.foreach { case (g, i) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(warcDir, f"crawl-$i%02d.warc"),
+            graft.sources.WarcSource.writeWarc(g.map(p => (p.url, p.warc_ts, p.html)).toSeq))
+        }
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(warcDir, "_DONE"), "ok")
+      }
+      val outDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
+      results += ("warc_ingest_e2e_200k" -> time {
+        val r = Flagship.ingestWarc(spark, warcDir, iCfg, outDir, "bench-snap")
+        require(r.pending.nonEmpty && r.skipped.isEmpty, "fresh ingest must write all buckets")
+      })
+      System.err.println(f"[bench] warc ingest e2e: ${200000L / results("warc_ingest_e2e_200k")}%.0f pages/s incl. lineage commit")
+    }
+
+    // 10× scale-stress of the heavy operators (sublinearity by measurement)
+    spark.catalog.clearCache()
+    val stress = StressBench.run(spark)
+    val stressJson = stress.map { case (k, (a, b)) =>
+      s""""$k":{"t_base":$a,"t_10x":$b,"ratio":${b / a}}"""
+    }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val stJson = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val nErr = status.values.count(_ != "ok")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$stJson,"errors":$nErr,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$stJson,"errors":$nErr,"stress":$stressJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

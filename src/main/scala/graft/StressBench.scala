@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale-stress for the heavy queries — sublinearity evidence by
+  * measurement, not plan reading (VERDICT r2 task #2). Each workload runs
+  * the SAME operator at a base size and at 10× the base, with inputs from
+  * deterministic generators (mix/xxhash64 — no RNG state), and reports
+  * (t_base, t_10x, ratio). A healthy sub-/linear operator keeps
+  * ratio ≲ 10; a quadratic one shows ~100.
+  *
+  * The generators are honest about what scales: the dedup corpora grow the
+  * VOCABULARY with n (token document-frequency stays constant — the regime
+  * the df-capped inverted index is designed for; a fixed vocabulary would
+  * measure the cap, not the operator); the kNN/CC/join inputs grow the
+  * point/cell/fact population over a fixed world. Invoked by Bench per
+  * round (→ BENCH_r{N}.json "stress") and standalone via its main.
+  */
+object StressBench {
+
+  /** Documents with ~constant token df: 40 tokens/doc drawn from a vocab of
+    * 8n, so E[df] ≈ 5 at every n; every 100th doc is a planted near-dup of
+    * its predecessor (39/40 shared tokens → jaccard 39/41 ≈ 0.95). */
+  def writeDocs(spark: SparkSession, n: Long, dir: String): Unit = {
+    val vocab = lit(8L * n)
+    // token 0 is always the doc's own; tokens 1..39 come from the dup base
+    val base = when(col("id") % 100 === 99, col("id") - 1).otherwise(col("id"))
+    val text = array_join(
+      transform(sequence(lit(0), lit(39)), j =>
+        concat(lit("t"), pmod(xxhash64(
+          when(j === 0, col("id")).otherwise(base) * 41 + j), vocab).cast("string"))),
+      " ")
+    spark.range(n).select(
+      col("id").as("doc_id"), text.as("text"),
+      lit("en").as("lang"), lit("stress").as("source"),
+      length(text).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** Points over the synthetic rect world [40,48)×[0,8), hash-uniform. */
+  def points(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id"),
+      (lit(40.0) + pmod(xxhash64(col("id")), lit(79990L)) / 10000.0).as("lat"),
+      (pmod(xxhash64(col("id") * 3), lit(79990L)) / 10000.0).as("lon"))
+
+  /** Occupied cells on a 2^20 grid as n/64 clusters of 8×8 blocks —
+    * components with real diameter, no saturation at any n. */
+  def clusteredCells(spark: SparkSession, n: Long): DataFrame = {
+    val cluster = col("id") / 64
+    val local = col("id") % 64
+    spark.range(n).select(
+      (pmod(xxhash64(cluster), lit((1L << 20) - 8)) + local % 8).as("i"),
+      (pmod(xxhash64(cluster * 7), lit((1L << 20) - 8)) + local / 8).as("j"))
+  }
+
+  /** Skewed fact table: 30% of rows on key 0, the rest uniform over 1000
+    * keys — the shape AQE cannot split on a reused exchange. */
+  def skewedFact(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      when(pmod(xxhash64(col("id")), lit(10L)) < 3, lit(0L))
+        .otherwise(pmod(xxhash64(col("id") * 13), lit(1000L))).as("key"),
+      pmod(xxhash64(col("id") * 17), lit(10000L)).as("qty"))
+
+  private def consume(df: DataFrame): Unit = {
+    df.write.format("noop").mode("overwrite").save()
+  }
+
+  /** One (t_base, t_10x) measurement; f must build a FRESH plan per call.
+    * A warmup at base/10 runs first so the base timing measures the
+    * operator, not codegen/JIT compilation (a cold base flatters the
+    * ratio — q36 measured ratio 0.8 without it). */
+  private def measure(label: String, base: Long)(f: Long => DataFrame): (Double, Double) = {
+    def time(n: Long): Double = {
+      val t0 = System.nanoTime(); consume(f(n)); (System.nanoTime() - t0) / 1e9
+    }
+    time(math.max(base / 10, 1L)) // warmup
+    val t1 = time(base)
+    val t10 = time(base * 10)
+    System.err.println(f"[stress] $label: base($base)=$t1%.2f s, 10x=$t10%.2f s, ratio=${t10 / t1}%.1f")
+    (t1, t10)
+  }
+
+  /** Run all stress workloads; returns label → (t_base, t_10x). */
+  def run(spark: SparkSession): scala.collection.immutable.ListMap[String, (Double, Double)] = {
+    val tmp = sys.props("java.io.tmpdir")
+    var out = scala.collection.immutable.ListMap.empty[String, (Double, Double)]
+
+    // near-dup corpora are written once per size (setup, untimed)
+    def docsDir(n: Long): String = {
+      val d = s"$tmp/graft-stress-docs-$n"
+      if (!new java.io.File(s"$d/documents.parquet/_SUCCESS").exists())
+        writeDocs(spark, n, d)
+      d
+    }
+    val docsBase = 20000L
+    docsDir(docsBase); docsDir(docsBase * 10)
+
+    out += "q25_jaccard" -> measure("q25_jaccard", docsBase)(n =>
+      graft.text.NearDup.jaccardPairs(spark, docsDir(n),
+        thresholdPct = 80, maxDf = 1000, maxDocId = Long.MaxValue))
+    out += "q26_minhash_lsh" -> measure("q26_minhash_lsh", docsBase)(n =>
+      graft.text.NearDup.minhashLsh(spark, docsDir(n),
+        numHashes = 16, bands = 4, thresholdPct = 80, maxDocId = Long.MaxValue))
+
+    val cfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
+      streetsPerCity = 10, buildingsPerStreet = 8)
+    val targets = {
+      import spark.implicits._
+      graft.synth.SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
+        .toDF("tid", "tlat", "tlon")
+    }
+    out += "q36_knn" -> measure("q36_knn", 15000L)(n =>
+      graft.spatial.DistributedKnn.nearest(spark, points(spark, n), targets, level = 12))
+
+    out += "q38_cc" -> measure("q38_cc", 50000L)(n =>
+      graft.spatial.Raster.connectedComponents(spark, clusteredCells(spark, n), gridN = 1L << 20))
+
+    val dim = spark.range(1000).select(col("id").as("key"),
+      concat(lit("P"), pmod(col("id"), lit(5)).cast("string")).as("priority"))
+    out += "q39_salted_join" -> measure("q39_salted_join", 600000L)(n =>
+      graft.ops.Skew.saltedJoin(skewedFact(spark, n), dim, "key",
+          salts = 16, spreadOn = col("qty"))
+        .groupBy("priority").agg(count(lit(1)).as("n"), sum(col("qty")).as("total")))
+
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rs = run(spark)
+    val js = rs.map { case (k, (a, b)) =>
+      s""""$k":{"t_base":$a,"t_10x":$b,"ratio":${b / a}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"stress":$js}""")
+    spark.stop()
+  }
+}

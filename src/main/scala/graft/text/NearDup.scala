@@ -39,8 +39,9 @@ object NearDup {
     * Emits (doc_a, doc_b, inter, size_a, size_b) with integer counts so the
     * DuckDB oracle hashes identically (jaccard = inter/(a+b-inter)). */
   def jaccardPairs(spark: SparkSession, dir: String,
-                   thresholdPct: Int = 50, maxDf: Int = 1000): DataFrame = {
-    val ts = tokenSets(docs(spark, dir), maxDf).cache()
+                   thresholdPct: Int = 50, maxDf: Int = 1000,
+                   maxDocId: Long = 1000L): DataFrame = {
+    val ts = tokenSets(docs(spark, dir, maxDocId), maxDf).cache()
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = ts.as("a").join(ts.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
@@ -68,8 +69,9 @@ object NearDup {
   /** MinHash+LSH near-dup candidates, exact-Jaccard verified.
     * bands × rowsPerBand = numHashes; candidate ⇔ some band identical. */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16,
-                 bands: Int = 4, thresholdPct: Int = 50): DataFrame = {
-    val d = docs(spark, dir)
+                 bands: Int = 4, thresholdPct: Int = 50,
+                 maxDocId: Long = 1000L): DataFrame = {
+    val d = docs(spark, dir, maxDocId)
     val sigs = minhashSignatures(d, numHashes)
     val rows = numHashes / bands
     val banded = sigs.select(col("doc_id"),
