@@ -60,6 +60,7 @@ object SparkEntry {
     "q24_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
     "q25_jaccard_neardup" -> ((s, d) => graft.text.NearDup.jaccardPairs(s, d, thresholdPct = 80)),
     "q26_minhash_lsh"    -> ((s, d) => graft.text.NearDup.minhashLsh(s, d, thresholdPct = 80)),
+    "q40_ngram_jaccard"  -> ((s, d) => graft.text.NearDup.ngramJaccardPairs(s, d, n = 3, thresholdPct = 80)),
     "q27_simhash_pairs"  -> ((s, d) => graft.text.NearDup.simhashPairs(s, d, maxHamming = 8)),
     "q28_cosine_top1"    -> ((s, d) => {
                                // argmax by ROUNDED cosine then min id, so the
@@ -351,6 +352,21 @@ object SparkEntry {
          inter AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
            FROM ts a JOIN ts b ON a.token = b.token AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b
+         FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         WHERE inter * 100 >= (sa.n + sb.n - inter) * 80""",
+    // n-gram shingles instead of word tokens; same inverted-index shape as
+    // q25 (the df cap never binds at ≤1000 docs, so the SQL omits it)
+    "q40_ngram_jaccard" ->
+      """WITH ts AS (
+           SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+           FROM (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i
+                 FROM documents WHERE doc_id < 1000 AND length(text) >= 3)
+         ), sz AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+           FROM ts a JOIN ts b ON a.gram = b.gram AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
          SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b
          FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b

@@ -208,7 +208,36 @@ object Reactions {
     * exception, builder.mli:139). */
   case class TransitionGraph(states: IndexedSeq[BigraphState],
                              edges: Seq[(Int, String, Int)],
-                             truncated: Boolean)
+                             truncated: Boolean) {
+
+    /** PRISM explicit-transition export (reference `to_prism`,
+      * builder.mli:161-164): header `<#states> <#transitions>`, then one
+      * `src dst` line per transition in canonical order. */
+    def toPrism: String =
+      (s"${states.length} ${edges.length}" +:
+        edges.map { case (f, _, t) => s"$f $t" }.sorted).mkString("", "\n", "\n")
+
+    /** PRISM label export (reference `to_lab`, builder.mli:165): for each
+      * named predicate, the states satisfying it —
+      * `label "name" = x = 0 | x = 3;` lines, empty predicates omitted. */
+    def toLab(predicates: Seq[(String, BigraphState => Boolean)]): String =
+      predicates.flatMap { case (name, p) =>
+        val sat = states.indices.filter(i => p(states(i)))
+        if (sat.isEmpty) None
+        else Some(s"""label "$name" = ${sat.map(i => s"x = $i").mkString(" | ")};""")
+      }.mkString("", "\n", "\n")
+
+    /** Graphviz export of the transition graph (reference `to_dot` over a
+      * graph, builder.mli:166): states as circles, transitions labeled by
+      * rule name. */
+    def toDot(name: String = "brs"): String = {
+      val sb = new StringBuilder(s"digraph $name {\n")
+      for (i <- states.indices) sb.append(s"""  s$i [shape=circle label="$i"];\n""")
+      for ((f, rule, t) <- edges) sb.append(s"""  s$f -> s$t [label="$rule"];\n""")
+      sb.append("}\n")
+      sb.toString
+    }
+  }
 
   /** BRS `bfs` (builder.mli:140-150): breadth-first exploration of the
     * reachable state space under named reparenting rules, with exact

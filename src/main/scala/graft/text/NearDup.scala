@@ -55,6 +55,40 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
+  /** Character n-gram (shingle) Jaccard near-dup — the boundary-robust
+    * variant of [[jaccardPairs]]: token-set jaccard misses edits that move
+    * word boundaries; character shingles do not. Same inverted-index pair
+    * join over the distinct shingle sets (candidates only where a shingle
+    * is shared, hot shingles df-capped), so the same Σdf² scaling law.
+    * Emits (doc_a, doc_b, inter, size_a, size_b) like jaccardPairs. */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+                        thresholdPct: Int = 80, maxDf: Int = 1000,
+                        maxDocId: Long = 1000L): DataFrame = {
+    val d = docs(spark, dir, maxDocId)
+    // all length-n substrings, as a codegen transform over positions —
+    // one row per position after the explode, distinct per doc (guard:
+    // sequence(1, 0) would generate DESCENDING, so short texts get array())
+    val ts0 = d.select(col("doc_id"),
+        explode(transform(
+          when(length(col("text")) >= n, sequence(lit(1), length(col("text")) - (n - 1)))
+            .otherwise(array().cast("array<int>")),
+          i => col("text").substr(i, lit(n)))).as("gram"))
+      .distinct()
+    val hot = ts0.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("gram")
+    val ts = ts0.join(broadcast(hot), Seq("gram"), "left_anti").cache()
+    val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = ts.as("a").join(ts.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .filter(col("inter") * 100 >= (col("size_a") + col("size_b") - col("inter")) * thresholdPct)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
+  }
+
   /** MinHash signature: for seed i, sig_i = min over tokens of
     * xxhash64(i, token). One row per doc with sig ARRAY<LONG>. */
   def minhashSignatures(d: DataFrame, numHashes: Int, maxDf: Int = 1000): DataFrame = {

@@ -82,6 +82,29 @@ class BrsSpec extends AnyFunSuite {
     assert(n == 0 && trace.isEmpty)
   }
 
+  test("PRISM/.lab/.dot exports carry the full transition structure") {
+    val tg = Reactions.bfs(world(), rules)
+    val prism = tg.toPrism
+    val lines = prism.trim.split("\n")
+    assert(lines.head == s"${tg.states.length} ${tg.edges.size}")
+    assert(lines.length == 1 + tg.edges.size)
+    // every transition line is "src dst" within range
+    for (l <- lines.tail) {
+      val Array(f, t) = l.split(" ").map(_.toInt)
+      assert(f >= 0 && f < tg.states.length && t >= 0 && t < tg.states.length)
+    }
+    val lab = tg.toLab(Seq(
+      "agent_in_building" -> (s => s.whereIs("a").exists(_._2 == "Building")),
+      "agent_at_boundary" -> (s => s.whereIs("a").exists(_._2 == "Boundary")),
+      "never" -> (_ => false)))
+    assert(lab.contains("""label "agent_in_building" = x = 0;"""))
+    assert(lab.linesIterator.count(_.startsWith("label")) == 2, "empty predicate must be omitted")
+    val dot = tg.toDot()
+    assert(dot.linesIterator.count(_.contains("shape=circle")) == tg.states.length)
+    assert(dot.linesIterator.count(_.contains("->")) == tg.edges.size)
+    assert(dot.contains("""label="move_across""""))
+  }
+
   test("bfs leaves no cached state frames behind") {
     val baseline = spark.sparkContext.getPersistentRDDs.size
     Reactions.bfs(world(), rules)

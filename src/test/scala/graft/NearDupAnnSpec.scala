@@ -33,6 +33,25 @@ class NearDupAnnSpec extends AnyFunSuite {
     assert(lsh.contains((100L, 101L)), "LSH must recall the planted near-identical pair")
   }
 
+  test("ngram jaccard catches boundary-shift near-dups that word jaccard misses") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ngram").toString
+    // doc 1 = doc 0 with ONE space removed: word sets share only 1 of 4
+    // words (jaccard 0.25) but 3-gram sets stay ~0.8 similar
+    val docs = Seq(
+      (0L, "abcdefgh ijklmnop qrstuvwx", "en", "s", 26L),
+      (1L, "abcdefghijklmnop qrstuvwx", "en", "s", 25L),
+      (2L, "zz yy xx ww vv uu tt ss", "en", "s", 23L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ng = NearDup.ngramJaccardPairs(spark, dir, n = 3, thresholdPct = 70)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val words = NearDup.jaccardPairs(spark, dir, thresholdPct = 70)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ng.contains((0L, 1L)), s"shingle jaccard must catch the boundary shift, got $ng")
+    assert(!words.contains((0L, 1L)), "word jaccard sees disjoint tokens here")
+    assert(!ng.contains((0L, 2L)) && !ng.contains((1L, 2L)))
+  }
+
   test("simhash: identical token multisets collide at hamming 0") {
     val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here entirely unrelated"))
