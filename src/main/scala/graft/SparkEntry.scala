@@ -81,6 +81,7 @@ object SparkEntry {
     "q29_ann_ivf_topk"   -> ((s, d) => graft.sim.Ann.ivfTopK(s, d, k = 3)
                                .select(col("vec_id"), col("rank"), col("neighbor_id"))),
     "q30_media_features" -> ((s, d) => graft.multimodal.MultiModal.featureStats(s, 2000L)),
+    "q41_cosine_neardup" -> ((s, d) => graft.sim.Ann.cosineNearDup(s, d, thresholdPct = 32)),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
     "q32_tile_agg"       -> ((s, d) => {
                                // native codegen cell_of over deterministic
@@ -389,6 +390,16 @@ object SparkEntry {
                              b.vec_id ASC) AS rn
            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
          ) WHERE rn = 1""",
+    // embedding-cosine near-dup pairs: exact bounded path (the scale path is
+    // exact=false via IVF candidates, spec-tested); DOUBLE[] cast per the
+    // q28 note (FLOAT[] cosine rounds differently at 4th-decimal boundaries)
+    "q41_cosine_neardup" ->
+      """SELECT id_a, id_b, cos_r4 FROM (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                               CAST(b.embedding AS DOUBLE[])), 4) AS cos_r4
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         ) WHERE cos_r4 >= 0.32""",
     "q31_sessionize" ->
       """WITH marked AS (
            SELECT user_id, ts, event_id,

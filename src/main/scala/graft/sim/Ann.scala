@@ -258,6 +258,47 @@ object Ann {
     new java.util.concurrent.atomic.AtomicReference[
       org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]]()
 
+  /** Embedding-cosine near-dup: unordered pairs with round(cos, 4) ≥
+    * thresholdPct/100 — the last member of the dedup family (exact,
+    * word/shingle jaccard, MinHash, SimHash, embedding cosine).
+    *
+    *  - exact = true: all-pairs with the same loud [[exactTopK]]-style row
+    *    bound — the DuckDB-oracle path (q41) for bounded corpora.
+    *  - exact = false: IVF candidate pairs (symmetrized, ids only through
+    *    the shuffle) → exact cosine verify — the scale path; recall follows
+    *    the IVF probe recall, and near-identical vectors share an argmax
+    *    centroid, so planted duplicates are found with ~certainty. */
+  def cosineNearDup(spark: SparkSession, dir: String, thresholdPct: Int = 32,
+                    exact: Boolean = true, maxRows: Long = 65536L): DataFrame = {
+    val thr = thresholdPct / 100.0
+    val pairs =
+      if (exact) {
+        val e = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
+        val n = e.count()
+        require(n <= maxRows,
+          s"cosineNearDup(exact=true) is an all-pairs O(n²) join: $n rows > maxRows=$maxRows. " +
+            "Use exact=false (IVF candidates) or raise maxRows deliberately.")
+        val q = e.repartition(spark.sparkContext.defaultParallelism)
+        q.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("norm").as("qn"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("cv"),
+            col("norm").as("cn")), col("id_a") < col("id_b"))
+      } else {
+        val (rows, cands) = ivfCandidates(spark, dir, 0, 0, 5, 100000L)
+        // symmetrize: a pair may surface in either probe direction
+        cands.select(least(col("vec_id"), col("cand_id")).as("id_a"),
+            greatest(col("vec_id"), col("cand_id")).as("id_b"))
+          .distinct()
+          .join(rows.select(col("vec_id").as("id_a"), col("embedding").as("qv"),
+            col("norm").as("qn")), "id_a")
+          .join(rows.select(col("vec_id").as("id_b"), col("embedding").as("cv"),
+            col("norm").as("cn")), "id_b")
+      }
+    pairs
+      .withColumn("cos_r4", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 4))
+      .filter(col("cos_r4") >= thr)
+      .select(col("id_a"), col("id_b"), col("cos_r4"))
+  }
+
   private def argmaxDot(u: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MinValue
     var ci = 0

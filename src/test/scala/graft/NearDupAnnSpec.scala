@@ -120,6 +120,32 @@ class NearDupAnnSpec extends AnyFunSuite {
       s"pairs grew ${ratio}x from n=$n1 to n=$n2 — scan fraction is not decaying")
   }
 
+  test("cosine near-dup: IVF path is a verified subset of exact and finds planted twins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cosdup").toString
+    val base = (0L until 300L).map { i =>
+      (i, Array.tabulate(64)(d =>
+        ((graft.synth.SynthWorld.mix(i * 131 + d) % 1000L) / 1000.0f)), 0)
+    }
+    val twins = base.take(3).map { case (i, v, _) =>
+      val w = v.clone(); w(0) = w(0) + 0.001f
+      (i + 1000L, w, 1)
+    }
+    (base ++ twins).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exactPairs = Ann.cosineNearDup(spark, dir, thresholdPct = 99, exact = true)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfPairs = Ann.cosineNearDup(spark, dir, thresholdPct = 99, exact = false)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfPairs.subsetOf(exactPairs), s"IVF emitted unverified pairs: ${ivfPairs -- exactPairs}")
+    for (i <- 0L until 3L)
+      assert(ivfPairs.contains((i, i + 1000L)), s"planted twin ($i, ${i + 1000}) missed")
+    // exact path refuses unbounded corpora like exactTopK does
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosineNearDup(spark, dir, exact = true, maxRows = 10L).collect()
+    }
+    assert(e.getMessage.contains("exact=false"))
+  }
+
   test("exactTopK fails loudly past its row bound instead of launching an n² job") {
     val e = intercept[IllegalArgumentException] {
       Ann.exactTopK(spark, sf, k = 1, maxRows = 10L).collect()
