@@ -115,30 +115,50 @@ object Bench {
     // SURVEY.md §3.1): WARC container files → pages → extract → geoparse →
     // spatial join → lineage-committed bucket table. Container files are
     // setup (idempotent per config); the timed region is the whole ingest.
+    // error-isolated like the per-query loop: one failing section must
+    // surface as err in status, not abort the bench and lose every timing
     locally {
-      val iCfg = benchCfg(200000L)
-      val warcDir = s"${sys.props("java.io.tmpdir")}/graft-warc-bench-${iCfg.pages}"
-      if (!new java.io.File(s"$warcDir/_DONE").exists()) {
-        new java.io.File(warcDir).mkdirs()
-        val pages = SynthWorld.pages(spark, iCfg).collect()
-        pages.grouped(pages.length / 32 + 1).zipWithIndex.foreach { case (g, i) =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(warcDir, f"crawl-$i%02d.warc"),
-            graft.sources.WarcSource.writeWarc(g.map(p => (p.url, p.warc_ts, p.html)).toSeq))
-        }
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(warcDir, "_DONE"), "ok")
-      }
-      val outDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
+      var st = "ok"
       results += ("warc_ingest_e2e_200k" -> time {
-        val r = Flagship.ingestWarc(spark, warcDir, iCfg, outDir, "bench-snap")
-        require(r.pending.nonEmpty && r.skipped.isEmpty, "fresh ingest must write all buckets")
+        try {
+          val iCfg = benchCfg(200000L)
+          // dir key carries the FULL config — a pages-only key would reuse
+          // stale WARC files after a benchCfg change
+          val cfgKey = s"${iCfg.seed}-${iCfg.gridP}-${iCfg.gridC}-" +
+            s"${iCfg.streetsPerCity}-${iCfg.buildingsPerStreet}-${iCfg.pages}"
+          val warcDir = s"${sys.props("java.io.tmpdir")}/graft-warc-bench-$cfgKey"
+          if (!new java.io.File(s"$warcDir/_DONE").exists()) {
+            new java.io.File(warcDir).mkdirs()
+            val pages = SynthWorld.pages(spark, iCfg).collect()
+            pages.grouped(pages.length / 32 + 1).zipWithIndex.foreach { case (g, i) =>
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(warcDir, f"crawl-$i%02d.warc"),
+                graft.sources.WarcSource.writeWarc(g.map(p => (p.url, p.warc_ts, p.html)).toSeq))
+            }
+            java.nio.file.Files.writeString(java.nio.file.Paths.get(warcDir, "_DONE"), "ok")
+          }
+          val outDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString
+          val r = Flagship.ingestWarc(spark, warcDir, iCfg, outDir, "bench-snap")
+          require(r.pending.nonEmpty && r.skipped.isEmpty, "fresh ingest must write all buckets")
+        } catch { case e: Throwable =>
+          st = "err:" + e.getClass.getSimpleName
+          System.err.println(s"[bench] warc_ingest FAILED: ${e.getMessage}")
+        }
       })
-      System.err.println(f"[bench] warc ingest e2e: ${200000L / results("warc_ingest_e2e_200k")}%.0f pages/s incl. lineage commit")
+      status += "warc_ingest_e2e_200k" -> st
+      if (st == "ok")
+        System.err.println(f"[bench] warc ingest e2e: ${200000L / results("warc_ingest_e2e_200k")}%.0f pages/s incl. lineage commit")
     }
 
     // 10× scale-stress of the heavy operators (sublinearity by measurement)
     spark.catalog.clearCache()
-    val stress = StressBench.run(spark)
+    val stress =
+      try StressBench.run(spark)
+      catch { case e: Throwable =>
+        status += "stress" -> ("err:" + e.getClass.getSimpleName)
+        System.err.println(s"[bench] stress FAILED: ${e.getMessage}")
+        scala.collection.immutable.ListMap.empty[String, (Double, Double)]
+      }
     val stressJson = stress.map { case (k, (a, b)) =>
       s""""$k":{"t_base":$a,"t_10x":$b,"ratio":${b / a}}"""
     }.mkString("{", ",", "}")

@@ -46,13 +46,16 @@ object StressBench {
       (pmod(xxhash64(col("id") * 3), lit(79990L)) / 10000.0).as("lon"))
 
   /** Occupied cells on a 2^20 grid as n/64 clusters of 8×8 blocks —
-    * components with real diameter, no saturation at any n. */
+    * components with real diameter, no saturation at any n. INTEGER
+    * division throughout (Column `/` is double division in Spark — the
+    * fractional coordinates would scatter every cell into its own
+    * component and the CC stress would measure nothing). */
   def clusteredCells(spark: SparkSession, n: Long): DataFrame = {
-    val cluster = col("id") / 64
+    val cluster = (col("id") / 64).cast("long")
     val local = col("id") % 64
     spark.range(n).select(
       (pmod(xxhash64(cluster), lit((1L << 20) - 8)) + local % 8).as("i"),
-      (pmod(xxhash64(cluster * 7), lit((1L << 20) - 8)) + local / 8).as("j"))
+      (pmod(xxhash64(cluster * 7), lit((1L << 20) - 8)) + (local / 8).cast("long")).as("j"))
   }
 
   /** Skewed fact table: 30% of rows on key 0, the rest uniform over 1000
@@ -65,19 +68,25 @@ object StressBench {
 
   private def consume(df: DataFrame): Unit = {
     df.write.format("noop").mode("overwrite").save()
+    df.unpersist(false) // kNN/CC pin their materialized result by contract
   }
 
   /** One (t_base, t_10x) measurement; f must build a FRESH plan per call.
     * A warmup at base/10 runs first so the base timing measures the
     * operator, not codegen/JIT compilation (a cold base flatters the
-    * ratio — q36 measured ratio 0.8 without it). */
-  private def measure(label: String, base: Long)(f: Long => DataFrame): (Double, Double) = {
+    * ratio — q36 measured ratio 0.8 without it). Every run unpersists its
+    * result and the workload ends with a clearCache, so one workload's
+    * pinned storage (e.g. jaccard's internal token-set cache) cannot bias
+    * the next one's timings. */
+  private def measure(spark: SparkSession, label: String, base: Long)
+                     (f: Long => DataFrame): (Double, Double) = {
     def time(n: Long): Double = {
       val t0 = System.nanoTime(); consume(f(n)); (System.nanoTime() - t0) / 1e9
     }
     time(math.max(base / 10, 1L)) // warmup
     val t1 = time(base)
     val t10 = time(base * 10)
+    spark.catalog.clearCache()
     System.err.println(f"[stress] $label: base($base)=$t1%.2f s, 10x=$t10%.2f s, ratio=${t10 / t1}%.1f")
     (t1, t10)
   }
@@ -97,10 +106,10 @@ object StressBench {
     val docsBase = 20000L
     docsDir(docsBase); docsDir(docsBase * 10)
 
-    out += "q25_jaccard" -> measure("q25_jaccard", docsBase)(n =>
+    out += "q25_jaccard" -> measure(spark, "q25_jaccard", docsBase)(n =>
       graft.text.NearDup.jaccardPairs(spark, docsDir(n),
         thresholdPct = 80, maxDf = 1000, maxDocId = Long.MaxValue))
-    out += "q26_minhash_lsh" -> measure("q26_minhash_lsh", docsBase)(n =>
+    out += "q26_minhash_lsh" -> measure(spark, "q26_minhash_lsh", docsBase)(n =>
       graft.text.NearDup.minhashLsh(spark, docsDir(n),
         numHashes = 16, bands = 4, thresholdPct = 80, maxDocId = Long.MaxValue))
 
@@ -111,15 +120,15 @@ object StressBench {
       graft.synth.SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
         .toDF("tid", "tlat", "tlon")
     }
-    out += "q36_knn" -> measure("q36_knn", 15000L)(n =>
+    out += "q36_knn" -> measure(spark, "q36_knn", 15000L)(n =>
       graft.spatial.DistributedKnn.nearest(spark, points(spark, n), targets, level = 12))
 
-    out += "q38_cc" -> measure("q38_cc", 50000L)(n =>
+    out += "q38_cc" -> measure(spark, "q38_cc", 50000L)(n =>
       graft.spatial.Raster.connectedComponents(spark, clusteredCells(spark, n), gridN = 1L << 20))
 
     val dim = spark.range(1000).select(col("id").as("key"),
       concat(lit("P"), pmod(col("id"), lit(5)).cast("string")).as("priority"))
-    out += "q39_salted_join" -> measure("q39_salted_join", 600000L)(n =>
+    out += "q39_salted_join" -> measure(spark, "q39_salted_join", 600000L)(n =>
       graft.ops.Skew.saltedJoin(skewedFact(spark, n), dim, "key",
           salts = 16, spreadOn = col("qty"))
         .groupBy("priority").agg(count(lit(1)).as("n"), sum(col("qty")).as("total")))

@@ -56,6 +56,11 @@ object Assembly {
     val places = withParent.select("id", "ctrl", "name", "parent").cache()
     val edges = withParent.filter(col("edge_key").isNotNull)
       .select(col("edge_key"), col("id").as("place_id")).cache()
+    // materialize the returned caches, then free the numbering intermediate —
+    // the state's two frames are the only caches this call leaves behind
+    places.count()
+    edges.count()
+    all.unpersist(false)
     import spark.implicits._
     BigraphState(places, edges, Seq.empty[(Long, Long)].toDF("agent_a", "agent_b"))
   }

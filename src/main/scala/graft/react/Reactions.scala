@@ -215,7 +215,10 @@ object Reactions {
       * `src dst` line per transition in canonical order. */
     def toPrism: String =
       (s"${states.length} ${edges.length}" +:
-        edges.map { case (f, _, t) => s"$f $t" }.sorted).mkString("", "\n", "\n")
+        // numeric (src, dst) order — a lexicographic string sort would put
+        // "10 0" before "2 0" past ten states
+        edges.map { case (f, _, t) => (f, t) }.sorted
+          .map { case (f, t) => s"$f $t" }).mkString("", "\n", "\n")
 
     /** PRISM label export (reference `to_lab`, builder.mli:165): for each
       * named predicate, the states satisfying it —
@@ -292,30 +295,35 @@ object Reactions {
     var t = 0
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
     var dead = false
+    // deferred frees, same discipline as fix(): a state's cache only
+    // materializes at the NEXT iteration's matcher collect, so superseded
+    // frames free one step late and every materialization stays one-hop
+    var pending: List[DataFrame] = Nil
     while (t < steps && !dead) {
       val occs = rules.flatMap { case (name, matcher) =>
         matcher(s).orderBy(col("agent"), col("target")).limit(maxOccurrencesPerRule)
           .collect().map(r => (name, r.getLong(0), r.getLong(1)))
       }
+      // the collects above materialized s → anything superseded before it is dead
+      pending.foreach(_.unpersist(false))
+      pending = Nil
       if (occs.isEmpty) dead = true
       else {
         val (name, agent, target) =
           occs(math.floorMod(graft.synth.SynthWorld.mix(seed ^ t.toLong), occs.length.toLong).toInt)
         val nextState = reparent(s, agent, target)
-        // drop the superseded state's cache marks (s0's cache belongs to the
-        // caller); the plan over it stays recomputable
-        if (s ne s0) s.places.unpersist(false)
+        if (s.places ne s0.places) pending = List(s.places) // frame identity, as in fix()
         // same plan-collapse cadence as fix(): without it the stacked
         // point-update projections grow analysis cost unboundedly
         s = if ((t + 1) % 16 == 0) {
-          val tr = nextState.copy(places = truncateLineage(nextState.places))
-          nextState.places.unpersist(false) // the truncated copy supersedes it
-          tr
+          pending ::= nextState.places // superseded by the truncated copy
+          nextState.copy(places = truncateLineage(nextState.places))
         } else nextState
         trace += name
         t += 1
       }
     }
+    pending.foreach(_.unpersist(false))
     (s, t, trace.toSeq)
   }
 
@@ -335,15 +343,35 @@ object Reactions {
     var s = s0
     var n = 0
     var more = true
+    // DEFERRED cache frees: a state's cache only materializes when the NEXT
+    // rule application collects over it, so the superseded frames are freed
+    // one rule application late — each materialization stays one-hop
+    // incremental, and at most one superseded generation is ever pinned
+    // (round-2 shape pinned one DataFrame per step for the session).
+    var pending: List[DataFrame] = Nil
     while (more && n < maxSteps) rule(s) match {
       case Some(next) =>
-        s = if ((n + 1) % 16 == 0)
+        // rule(s) just collected over s → frames superseded BEFORE s are dead.
+        // FRAME identity, not state identity: a rule that rewrites only one
+        // frame (e.g. connectToNearbyAgent copies contacts, shares places)
+        // leaves the other frame eq to s0's — the caller's, not ours to free
+        pending.foreach(_.unpersist(false))
+        pending = List(s.places, s.contacts)
+          .filter(f => (f ne s0.places) && (f ne s0.contacts))
+        s = if ((n + 1) % 16 == 0) {
+          // the truncated copy supersedes `next` as soon as it materializes
+          pending :::= List(next.places, next.contacts)
           next.copy(places = truncateLineage(next.places),
             contacts = truncateLineage(next.contacts))
-        else next
+        } else next
         n += 1
-      case None => more = false
+      case None =>
+        // the final (matchless) rule application still collected over s
+        pending.foreach(_.unpersist(false))
+        pending = Nil
+        more = false
     }
+    pending.foreach(_.unpersist(false))
     (s, n)
   }
 }

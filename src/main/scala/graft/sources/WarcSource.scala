@@ -90,14 +90,15 @@ object WarcSource {
     * one pass inflates the whole file. */
   def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
-    // initial capacity sized as a LONG: `bytes.length * 4` in Int overflows
-    // negative for inputs in (512 MB, 1 GB] — exactly the per-file unit this
-    // source targets. The inflated output itself is still bounded by the
-    // JVM's 2 GB Array[Byte] ceiling (ByteArrayOutputStream throws past it);
-    // files inflating larger need the member-splitting input format noted
-    // in the header.
+    // initial capacity HINT sized in Long arithmetic (`bytes.length * 4` in
+    // Int overflows negative past 512 MB) and capped at 64 MB — an eager
+    // near-2GB allocation per large file would be an OOM spike even when
+    // the member inflates small; the stream grows as needed. The inflated
+    // output is still bounded by the JVM's 2 GB Array[Byte] ceiling
+    // (ByteArrayOutputStream throws past it); files inflating larger need
+    // the member-splitting input format noted in the header.
     val out = new java.io.ByteArrayOutputStream(
-      math.min(Int.MaxValue - 8L, bytes.length.toLong * 4).toInt)
+      math.min(64L * 1024 * 1024, bytes.length.toLong * 4).toInt)
     val buf = new Array[Byte](64 * 1024)
     var r = in.read(buf)
     while (r >= 0) { out.write(buf, 0, r); r = in.read(buf) }

@@ -23,6 +23,21 @@ object NearDup {
   private def docs(spark: SparkSession, dir: String, maxDocId: Long = 1000L): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet").filter(col("doc_id") < maxDocId)
 
+  /** Single-slot displaced cache for the token/shingle sets (consumed three
+    * times inside one pair-join plan, so caching is a real win — but a
+    * per-invocation cache nothing unpersists leaks executor storage in
+    * long-lived sessions; same posture as Ann's centroid broadcasts). The
+    * previous call's set is unpersist(false)-ed: a still-lazy plan over it
+    * recomputes instead of failing. */
+  private val lastSetCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+  private def slotCache(df: DataFrame): DataFrame = {
+    val cached = df.cache()
+    val prev = lastSetCache.getAndSet(cached)
+    if (prev != null) prev.unpersist(false)
+    cached
+  }
+
   /** (doc_id, token) distinct — token sets, with document-frequency cap on
     * tokens so a stopword shared by every doc can't create O(n²) pairs. */
   private def tokenSets(d: DataFrame, maxDf: Int): DataFrame = {
@@ -41,7 +56,7 @@ object NearDup {
   def jaccardPairs(spark: SparkSession, dir: String,
                    thresholdPct: Int = 50, maxDf: Int = 1000,
                    maxDocId: Long = 1000L): DataFrame = {
-    val ts = tokenSets(docs(spark, dir, maxDocId), maxDf).cache()
+    val ts = slotCache(tokenSets(docs(spark, dir, maxDocId), maxDf))
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = ts.as("a").join(ts.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
@@ -76,7 +91,7 @@ object NearDup {
       .distinct()
     val hot = ts0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("gram")
-    val ts = ts0.join(broadcast(hot), Seq("gram"), "left_anti").cache()
+    val ts = slotCache(ts0.join(broadcast(hot), Seq("gram"), "left_anti"))
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = ts.as("a").join(ts.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))

@@ -75,6 +75,18 @@ class RasterSpec extends AnyFunSuite {
     assert(got((big, 100L)) == c2 && got((big + 1, 100L)) == c2 && got((big + 1, 101L)) == c2)
   }
 
+  test("stress generator emits real 8x8 cell clusters (64-cell components)") {
+    // guards the q38 stress evidence: a fractional-division bug here once
+    // scattered every cell into its own component, so the 'CC sublinearity'
+    // measurement was measuring nothing
+    val cells = graft.StressBench.clusteredCells(spark, 128L)
+    val comps = Raster.connectedComponents(spark, cells, gridN = 1L << 20)
+    val sizes = comps.groupBy("comp").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(64L, 64L),
+      s"expected two 64-cell components, got ${sizes.toSeq}")
+    comps.unpersist(true)
+  }
+
   test("connectedComponents pins only its result; unpersist returns to baseline") {
     val cells = Seq((5L, 5L), (5L, 6L), (6L, 5L), (9L, 9L)).toDF("i", "j")
     val baseline = spark.sparkContext.getPersistentRDDs.size
