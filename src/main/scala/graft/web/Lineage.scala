@@ -98,6 +98,56 @@ object Lineage {
     spark.read.parquet(s"$outDir/data").filter(col("bucket").isin(added: _*))
   }
 
+  /** Iceberg-style table maintenance: rewrite buckets fragmented into more
+    * than `maxFilesPerBucket` parquet files down to ONE file per bucket.
+    * Small files are the chronic failure mode of a long-lived partitioned
+    * ingest at 100 TB (every micro-batch task appends a file per bucket it
+    * touches; scans then pay per-file open + footer costs).
+    *
+    * Content is untouched, so existing manifests stay valid (rows + the
+    * order-independent bit_xor checksum are content-derived) — asserted by
+    * a post-compaction [[audit]] in the spec. The rewrite goes through a
+    * temp directory and per-bucket directory swaps, NEVER a self-overwrite
+    * of paths being read (a cache-backed overwrite could recompute from
+    * half-deleted files under memory pressure). A crash mid-swap leaves
+    * that bucket's manifest present but data absent — exactly what audit()
+    * reports for re-ingest. Returns the compacted bucket ids. */
+  def compact(spark: SparkSession, outDir: String,
+              maxFilesPerBucket: Int = 8): Seq[Long] = {
+    val dataDir = Paths.get(outDir, "data")
+    if (!Files.isDirectory(dataDir)) return Nil
+    def parquetFiles(p: Path): Long =
+      Files.list(p).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
+    val victims = Files.list(dataDir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("bucket="))
+      .filter(parquetFiles(_) > maxFilesPerBucket)
+      .map(_.getFileName.toString.stripPrefix("bucket=").toLong)
+      .toSeq.sorted
+    if (victims.isEmpty) return Nil
+
+    // one job: victim rows, hash-partitioned by bucket (each bucket lives in
+    // exactly one task → exactly one output file per bucket), written to a
+    // temp dir beside the table
+    val tmp = Paths.get(outDir, "_compact_tmp")
+    spark.read.parquet(s"$outDir/data")
+      .withColumn("bucket", col("bucket").cast("long"))
+      .filter(col("bucket").isin(victims: _*))
+      .repartition(victims.length, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+
+    // per-bucket directory swap: remove fragmented dir, move compacted in
+    def deleteTree(p: Path): Unit =
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    for (b <- victims) {
+      val dst = dataDir.resolve(s"bucket=$b")
+      deleteTree(dst)
+      Files.move(tmp.resolve(s"bucket=$b"), dst)
+    }
+    deleteTree(tmp)
+    victims
+  }
+
   /** Write `df` (which must carry `bucket` and `url` columns) partitioned by
     * bucket, skipping buckets whose manifests exist. ALL pending buckets go
     * out in ONE dynamic-partition-overwrite job and are audited by ONE

@@ -91,6 +91,34 @@ class GeocodeSpec extends AnyFunSuite {
     assert(parsed("u3")._1.isEmpty)
   }
 
+  test("compaction rewrites fragmented buckets to one file, manifests stay valid") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // fragment deliberately: 48 write tasks → up to 48 files per bucket
+    val df = Flagship.geocode(spark, cfg).repartition(48).cache()
+    Lineage.run(spark, df, outDir, "snap-1")
+    def filesOf(b: Long): Long = {
+      val d = java.nio.file.Paths.get(outDir, "data", s"bucket=$b")
+      java.nio.file.Files.list(d).toArray.count(_.toString.endsWith(".parquet"))
+    }
+    val buckets = Lineage.completed(outDir).keys.toSeq.sorted
+    val fragmented = buckets.filter(filesOf(_) > 1)
+    assert(fragmented.nonEmpty, "test setup must produce fragmented buckets")
+
+    val before = spark.read.parquet(s"$outDir/data")
+      .orderBy("url").collect().toSeq
+    val compacted = Lineage.compact(spark, outDir, maxFilesPerBucket = 1)
+    assert(compacted.nonEmpty && compacted.toSet.subsetOf(buckets.toSet))
+    for (b <- compacted) assert(filesOf(b) == 1L, s"bucket $b not compacted")
+
+    // content untouched: rows identical, manifests still audit clean
+    val after = spark.read.parquet(s"$outDir/data").orderBy("url").collect().toSeq
+    assert(after == before)
+    assert(Lineage.audit(spark, outDir).isEmpty)
+    // idempotent: nothing left to compact
+    assert(Lineage.compact(spark, outDir, maxFilesPerBucket = 1).isEmpty)
+    df.unpersist()
+  }
+
   test("lineage manifests make the job resumable without recompute") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
     val df = Flagship.geocode(spark, cfg).cache()
