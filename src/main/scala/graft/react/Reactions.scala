@@ -252,7 +252,17 @@ object Reactions {
   def bfs(s0: BigraphState,
           rules: Seq[(String, BigraphState => DataFrame)],
           maxStates: Int = 256,
-          maxOccurrencesPerRule: Int = 64): TransitionGraph = {
+          maxOccurrencesPerRule: Int = 64): TransitionGraph =
+    bfsPrioritized(s0, Seq(rules), maxStates, maxOccurrencesPerRule)
+
+  /** [[bfs]] with the reference's priority classes (`p_class`,
+    * builder.mli:105-123): at each state, the FIRST class (highest
+    * priority) with any occurrence is the only one expanded — lower classes
+    * are preempted. A flat rule list is one class of equal priority. */
+  def bfsPrioritized(s0: BigraphState,
+                     priorities: Seq[Seq[(String, BigraphState => DataFrame)]],
+                     maxStates: Int = 256,
+                     maxOccurrencesPerRule: Int = 64): TransitionGraph = {
     val sp = s0.spark
     val k0 = canon(s0, dropCache = false)
     val states = scala.collection.mutable.ArrayBuffer(ofCanon(sp, k0).copy(junctionEdges = s0.junctionEdges))
@@ -262,18 +272,26 @@ object Reactions {
     var frontier = List(0)
     while (frontier.nonEmpty) {
       val next = scala.collection.mutable.ListBuffer.empty[Int]
-      for (si <- frontier; (name, matcher) <- rules;
-           succ <- step(states(si), matcher(states(si)), maxOccurrencesPerRule)) {
-        val k = canon(succ, dropCache = true)
-        seen.get(k) match {
-          case Some(ti) => edges += ((si, name, ti))
-          case None if states.length >= maxStates => truncated = true
-          case None =>
-            val ti = states.length
-            states += ofCanon(sp, k).copy(junctionEdges = s0.junctionEdges)
-            seen(k) = ti
-            edges += ((si, name, ti))
-            next += ti
+      for (si <- frontier) {
+        // the applicable class: first one where any rule has an occurrence
+        val expansions = priorities.iterator.map { cls =>
+          cls.flatMap { case (name, matcher) =>
+            step(states(si), matcher(states(si)), maxOccurrencesPerRule)
+              .map(succ => (name, succ))
+          }
+        }.find(_.nonEmpty).getOrElse(Nil)
+        for ((name, succ) <- expansions) {
+          val k = canon(succ, dropCache = true)
+          seen.get(k) match {
+            case Some(ti) => edges += ((si, name, ti))
+            case None if states.length >= maxStates => truncated = true
+            case None =>
+              val ti = states.length
+              states += ofCanon(sp, k).copy(junctionEdges = s0.junctionEdges)
+              seen(k) = ti
+              edges += ((si, name, ti))
+              next += ti
+          }
         }
       }
       frontier = next.toList
@@ -290,7 +308,16 @@ object Reactions {
   def sim(s0: BigraphState,
           rules: Seq[(String, BigraphState => DataFrame)],
           steps: Int, seed: Long,
-          maxOccurrencesPerRule: Int = 1024): (BigraphState, Int, Seq[String]) = {
+          maxOccurrencesPerRule: Int = 1024): (BigraphState, Int, Seq[String]) =
+    simPrioritized(s0, Seq(rules), steps, seed, maxOccurrencesPerRule)
+
+  /** [[sim]] with priority classes: each step draws uniformly from the
+    * highest-priority class that has an occurrence (builder.mli:105-123,
+    * 152-160). */
+  def simPrioritized(s0: BigraphState,
+                     priorities: Seq[Seq[(String, BigraphState => DataFrame)]],
+                     steps: Int, seed: Long,
+                     maxOccurrencesPerRule: Int = 1024): (BigraphState, Int, Seq[String]) = {
     var s = s0
     var t = 0
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -300,10 +327,13 @@ object Reactions {
     // frames free one step late and every materialization stays one-hop
     var pending: List[DataFrame] = Nil
     while (t < steps && !dead) {
-      val occs = rules.flatMap { case (name, matcher) =>
-        matcher(s).orderBy(col("agent"), col("target")).limit(maxOccurrencesPerRule)
-          .collect().map(r => (name, r.getLong(0), r.getLong(1)))
-      }
+      val sNow = s
+      val occs = priorities.iterator.map { cls =>
+        cls.flatMap { case (name, matcher) =>
+          matcher(sNow).orderBy(col("agent"), col("target")).limit(maxOccurrencesPerRule)
+            .collect().map(r => (name, r.getLong(0), r.getLong(1)))
+        }
+      }.find(_.nonEmpty).getOrElse(Nil)
       // the collects above materialized s → anything superseded before it is dead
       pending.foreach(_.unpersist(false))
       pending = Nil

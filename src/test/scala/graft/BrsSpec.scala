@@ -82,6 +82,30 @@ class BrsSpec extends AnyFunSuite {
     assert(n == 0 && trace.isEmpty)
   }
 
+  test("priority classes: a higher class with an occurrence preempts lower ones") {
+    // class 1 = {leave_building, move_across}; class 2 = everything else.
+    // From the street states class 1 always fires (move), so leave_street /
+    // enter_* are permanently preempted: the Boundary state is unreachable
+    // and only {building, s1, s2} with 3 transitions survive.
+    val prio = Seq(
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "leave_building" -> (s => Reactions.leaveMatches(s, "Building")),
+        "move_across" -> (s => Reactions.moveAcrossMatches(s))),
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "enter_building" -> (s => Reactions.enterMatches(s, "Building", Some("Street"))),
+        "leave_street" -> (s => Reactions.leaveMatches(s, "Street")),
+        "enter_street" -> (s => Reactions.enterMatches(s, "Street"))))
+    val tg = Reactions.bfsPrioritized(world(), prio)
+    assert(tg.states.length == 3, s"boundary state must be preempted, got ${tg.states.length}")
+    assert(tg.edges.map(_._2).toSet == Set("leave_building", "move_across"))
+    assert(tg.edges.size == 3) // b→s1, s1→s2, s2→s1
+    // flat bfs (one class) still reaches all 4 states
+    assert(Reactions.bfs(world(), rules).states.length == 4)
+    // sim under the same priorities can only ever fire class-1 rules
+    val (_, n, trace) = Reactions.simPrioritized(world(), prio, steps = 8, seed = 5L)
+    assert(n == 8 && trace.toSet.subsetOf(Set("leave_building", "move_across")))
+  }
+
   test("PRISM/.lab/.dot exports carry the full transition structure") {
     val tg = Reactions.bfs(world(), rules)
     val prism = tg.toPrism
