@@ -186,6 +186,20 @@ object SparkEntry {
                                  floor((col("lat") + 90) / 180 * 4096).cast("long").as("j"))
                                graft.spatial.Raster.connectedComponents(s, cells, gridN = 4096L)
                              }),
+    "q42_pip_distributed" -> ((s, d) => {
+                               // J7's fact×fact shape: zones as a TABLE
+                               // (not broadcast), uniform cell cover join +
+                               // per-task JTS refine; oracle = bbox SQL over
+                               // the closed-form rect world (all containing
+                               // zones, not just the deepest)
+                               import s.implicits._
+                               val zones = graft.web.Flagship.boundaries(spatialCfg)
+                                 .map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+                               graft.spatial.DistributedPip.containsJoin(
+                                   s, synthPoints(s, d).withColumnRenamed("point_id", "id"),
+                                   zones, level = 8)
+                                 .select(col("point_id"), col("boundary_id"))
+                             }),
     "q36_knn_snap"       -> ((s, d) => {
                                // J9 kNN snap through the DISTRIBUTED ring-join
                                // path (fact×fact shape); oracle = brute-force
@@ -517,6 +531,26 @@ object SparkEntry {
          SELECT k.i, k.j, m.comp
          FROM keyed k JOIN (SELECT key, min(r) AS comp FROM reach GROUP BY key) m
            ON m.key = k.key""",
+    "q42_pip_distributed" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+                  40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), rects AS (
+           SELECT CAST(1 AS BIGINT) AS boundary_id, 0.0 AS x0, 40.0 AS y0, 8.0 AS x1, 48.0 AS y1
+           UNION ALL
+           SELECT 100+pi*2+pj, pi*4.0, 40+pj*4.0, pi*4.0+4, 40+pj*4.0+4
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj)
+           UNION ALL
+           SELECT (100+pi*2+pj)*1000 + ci*2+cj, pi*4.0+ci*2, 40+pj*4.0+cj*2,
+                  pi*4.0+ci*2+2, 40+pj*4.0+cj*2+2
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         )
+         SELECT p.point_id, r.boundary_id
+         FROM pts p JOIN rects r
+           ON p.lat > r.y0 AND p.lat < r.y1 AND p.lon > r.x0 AND p.lon < r.x1""",
     "q36_knn_snap" ->
       """WITH pts AS (
            SELECT c_custkey AS point_id,

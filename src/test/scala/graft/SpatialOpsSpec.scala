@@ -12,6 +12,28 @@ class SpatialOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("distributed PIP join equals the broadcast index on identical inputs") {
+    val cfg = SynthWorld.Config(seed = 3L, gridP = 2, gridC = 2)
+    val bs = Flagship.boundaries(cfg)
+    // deterministic points across the world incl. just-inside-border spots
+    val pts = (0L until 400L).map { i =>
+      val lat = 40.0 + math.floorMod(SynthWorld.mix(i) , 79990L) / 10000.0
+      val lon = math.floorMod(SynthWorld.mix(i * 7), 79990L) / 10000.0
+      (i, lat, lon)
+    }
+    val zonesDf = bs.map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+    val got = graft.spatial.DistributedPip.containsJoin(
+        spark, pts.toDF("id", "lat", "lon"), zonesDf, level = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    val idx = graft.spatial.BoundaryCellIndex.build(bs, 8)
+    val want = pts.flatMap { case (i, lat, lon) =>
+      idx.containing(lat, lon).map(b => (i, b.id))
+    }.toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && want.size >= 400 * 3 - 50) // ~3 nested zones each
+  }
+
   test("J8: line-boundary crossing detection via ring cover + JTS refine") {
     val cfg = SynthWorld.Config(seed = 1L, gridP = 2, gridC = 2)
     val bs = Flagship.boundaries(cfg) // rectangles over lon [0,8] lat [40,48]
