@@ -342,13 +342,18 @@ object Reactions {
         val (name, agent, target) =
           occs(math.floorMod(graft.synth.SynthWorld.mix(seed ^ t.toLong), occs.length.toLong).toInt)
         val nextState = reparent(s, agent, target)
-        if (s.places ne s0.places) pending = List(s.places) // frame identity, as in fix()
         // same plan-collapse cadence as fix(): without it the stacked
         // point-update projections grow analysis cost unboundedly
-        s = if ((t + 1) % 16 == 0) {
-          pending ::= nextState.places // superseded by the truncated copy
-          nextState.copy(places = truncateLineage(nextState.places))
-        } else nextState
+        val (newState, superseded) =
+          if ((t + 1) % 16 == 0)
+            (nextState.copy(places = truncateLineage(nextState.places)),
+              List(s.places, nextState.places))
+          else (nextState, List(s.places))
+        // frame-identity guards as in fix(): never the caller's s0 frame,
+        // never a frame the new state still carries
+        pending = superseded.distinct.filter(f =>
+          (f ne s0.places) && (f ne newState.places))
+        s = newState
         trace += name
         t += 1
       }
@@ -381,19 +386,23 @@ object Reactions {
     var pending: List[DataFrame] = Nil
     while (more && n < maxSteps) rule(s) match {
       case Some(next) =>
-        // rule(s) just collected over s → frames superseded BEFORE s are dead.
-        // FRAME identity, not state identity: a rule that rewrites only one
-        // frame (e.g. connectToNearbyAgent copies contacts, shares places)
-        // leaves the other frame eq to s0's — the caller's, not ours to free
+        // rule(s) just collected over s → frames superseded BEFORE s are dead
         pending.foreach(_.unpersist(false))
-        pending = List(s.places, s.contacts)
-          .filter(f => (f ne s0.places) && (f ne s0.contacts))
-        s = if ((n + 1) % 16 == 0) {
-          // the truncated copy supersedes `next` as soon as it materializes
-          pending :::= List(next.places, next.contacts)
-          next.copy(places = truncateLineage(next.places),
-            contacts = truncateLineage(next.contacts))
-        } else next
+        val (newState, superseded) =
+          if ((n + 1) % 16 == 0) {
+            val tr = next.copy(places = truncateLineage(next.places),
+              contacts = truncateLineage(next.contacts))
+            (tr, List(s.places, s.contacts, next.places, next.contacts))
+          } else (next, List(s.places, s.contacts))
+        // free only frames that are (a) not the caller's s0 frames and
+        // (b) not shared with the new state — a rule that rewrites only one
+        // frame (e.g. connectToNearbyAgent copies contacts, shares places)
+        // carries the other frame forward BY REFERENCE; freeing it would
+        // force every later collect to replay the stacked projections
+        pending = superseded.distinct.filter(f =>
+          (f ne s0.places) && (f ne s0.contacts) &&
+            (f ne newState.places) && (f ne newState.contacts))
+        s = newState
         n += 1
       case None =>
         // the final (matchless) rule application still collected over s

@@ -28,7 +28,10 @@ object NearDup {
     * per-invocation cache nothing unpersists leaks executor storage in
     * long-lived sessions; same posture as Ann's centroid broadcasts). The
     * previous call's set is unpersist(false)-ed: a still-lazy plan over it
-    * recomputes instead of failing. */
+    * recomputes instead of failing — so composing two near-dup plans before
+    * consuming the first trades the first plan's 3× token-set reuse for
+    * recomputation. Consume each result before building the next (as
+    * Verify/Bench do) to keep the cache hit. */
   private val lastSetCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame]()
   private def slotCache(df: DataFrame): DataFrame = {

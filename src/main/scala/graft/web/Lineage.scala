@@ -27,11 +27,18 @@ object Lineage {
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifests")
 
+  /** Directory listing with the stream CLOSED (Files.list holds an open
+    * directory descriptor until closed — a per-bucket leak at thousands of
+    * buckets would exhaust the driver's fd limit mid-maintenance). */
+  private def listDir[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val st = Files.list(dir)
+    try f(st.iterator().asScala) finally st.close()
+  }
+
   def completed(outDir: String): Map[Long, Manifest] = {
     val dir = manifestDir(outDir)
     if (!Files.isDirectory(dir)) return Map.empty
-    Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
+    listDir(dir)(_.filter(_.getFileName.toString.endsWith(".json"))
       .map { p =>
         val m = Files.readString(p)
         def field(k: String): String =
@@ -40,7 +47,7 @@ object Lineage {
         Manifest(field("bucket").toLong, field("rows").toLong,
           field("checksum").toLong, field("snapshotId"), field("completedAtMs").toLong)
       }
-      .map(m => m.bucket -> m).toMap
+      .map(m => m.bucket -> m).toMap)
   }
 
   /** Audit committed data against its manifests: recompute per-bucket row
@@ -67,9 +74,8 @@ object Lineage {
   def snapshots(outDir: String): Seq[String] = {
     val dir = Paths.get(outDir, "_snapshots")
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json")).toSeq.sorted
+    else listDir(dir)(_.map(_.getFileName.toString).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSeq.sorted)
   }
 
   private def snapshotBuckets(outDir: String, snapshotId: String): Array[Long] = {
@@ -117,12 +123,12 @@ object Lineage {
     val dataDir = Paths.get(outDir, "data")
     if (!Files.isDirectory(dataDir)) return Nil
     def parquetFiles(p: Path): Long =
-      Files.list(p).iterator().asScala.count(_.getFileName.toString.endsWith(".parquet"))
-    val victims = Files.list(dataDir).iterator().asScala
+      listDir(p)(_.count(_.getFileName.toString.endsWith(".parquet")))
+    val victims = listDir(dataDir)(_
       .filter(_.getFileName.toString.startsWith("bucket="))
       .filter(parquetFiles(_) > maxFilesPerBucket)
       .map(_.getFileName.toString.stripPrefix("bucket=").toLong)
-      .toSeq.sorted
+      .toSeq.sorted)
     if (victims.isEmpty) return Nil
 
     // one job: victim rows, hash-partitioned by bucket (each bucket lives in
@@ -136,9 +142,11 @@ object Lineage {
       .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
 
     // per-bucket directory swap: remove fragmented dir, move compacted in
-    def deleteTree(p: Path): Unit =
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => Files.delete(f))
+    def deleteTree(p: Path): Unit = {
+      val st = Files.walk(p)
+      try st.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally st.close()
+    }
     for (b <- victims) {
       val dst = dataDir.resolve(s"bucket=$b")
       deleteTree(dst)

@@ -85,6 +85,23 @@ class ReactionsSpec extends AnyFunSuite {
     assert(Reactions.connectToNearbyAgent(after).isEmpty)
   }
 
+  test("fix past the truncation boundary never frees caller-owned or live shared frames") {
+    // contacts-only rule: every state SHARES the places frame with s0, so a
+    // frame-freeing bug here evicts the caller's cache (regression: the %16
+    // truncation branch once enqueued next.places without the s0 filter)
+    var s = Assembly.toState(spark, doverTables)
+    val b = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
+      .limit(1).collect()(0).getString(2)
+    for (i <- 1 to 7) s = Reactions.addAgentToBuilding(s, b, s"fx$i")
+    val s0 = s
+    assert(s0.places.storageLevel.useMemory, "test setup: s0.places must be cached")
+    val (after, steps) = Reactions.fix(s0, Reactions.connectToNearbyAgent)
+    assert(steps == 21) // C(7,2) pairs, crosses the step-16 truncation
+    assert(after.contacts.count() == 21)
+    assert(s0.places.storageLevel.useMemory,
+      "fix must not unpersist the caller-owned places frame it never rewrote")
+  }
+
   test("BRS step enumerates every occurrence; random_step is seeded-deterministic") {
     var s = Assembly.toState(spark, doverTables)
     val bs = s.places.filter(col("ctrl") === "Building").orderBy(col("name"))
