@@ -114,23 +114,19 @@ object MultiModal {
   }
 
   /** Embedding-cosine near-dup over the extracted features: pairs with
-    * cosine ≥ minCosine (planted byte-identical media have cosine 1). The
-    * all-pairs shape mirrors sim.Ann.exactTopK; at corpus scale swap in the
-    * IVF candidate generation (sim.Ann.ivfTopK) — features are the same
-    * Array[Float] column either way. */
-  def mediaNearDup(feats: DataFrame, minCosine: Double = 0.999): DataFrame = {
-    import graft.functions.GeoFunctions
-    GeoFunctions.register(feats.sparkSession)
-    val withNorm = feats.select(col("media_id"), col("feature"))
-      .withColumn("norm", sqrt(GeoFunctions.vec_dot(col("feature"), col("feature"))))
-      .repartition(feats.sparkSession.sparkContext.defaultParallelism)
-    val a = withNorm.select(col("media_id").as("id_a"), col("feature").as("fa"), col("norm").as("na"))
-    val b = withNorm.select(col("media_id").as("id_b"), col("feature").as("fb"), col("norm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", GeoFunctions.vec_dot(col("fa"), col("fb")) / (col("na") * col("nb")))
+    * cosine ≥ minCosine (planted byte-identical media have cosine 1).
+    * Routes through the shared [[graft.sim.Ann.cosinePairsOf]] machinery:
+    * exact = true is the guarded all-pairs path (loud row bound);
+    * exact = false is the IVF candidate path — the corpus-scale shape
+    * (candidates sub-quadratic; byte-identical media share an argmax
+    * centroid, so recall of true duplicates is ~certain). */
+  def mediaNearDup(feats: DataFrame, minCosine: Double = 0.999,
+                   exact: Boolean = true, maxRows: Long = 65536L): DataFrame =
+    graft.sim.Ann.cosinePairsOf(feats.sparkSession,
+        feats.select(col("media_id").as("vec_id"), col("feature").as("embedding")),
+        exact, maxRows)
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
-  }
 
   /** Query-shaped entry: features + per-kind stats over synthetic media. */
   def featureStats(spark: SparkSession, n: Long): DataFrame = {

@@ -176,12 +176,19 @@ object Ann {
   /** Shared IVF front half: train centroids, assign, probe; returns
     * (rows-with-norms, candidate id pairs). */
   private def ivfCandidates(spark: SparkSession, dir: String, c: Int, nprobe: Int,
-                            iters: Int, maxTrainSamples: Long): (DataFrame, DataFrame) = {
+                            iters: Int, maxTrainSamples: Long): (DataFrame, DataFrame) =
+    ivfCandidatesOf(spark, emb(spark, dir).select(col("vec_id"), col("embedding")),
+      c, nprobe, iters, maxTrainSamples)
+
+  /** Frame-based IVF front half — any (vec_id, embedding ARRAY<FLOAT>)
+    * input (multimodal feature vectors route through here too). */
+  private def ivfCandidatesOf(spark: SparkSession, rows0: DataFrame, c: Int, nprobe: Int,
+                              iters: Int, maxTrainSamples: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
     // NOT cached: at fact scale the corpus cannot be pinned anyway; every
     // stage below is a narrow column-pruned scan, and an uncached frame
     // cannot leak executor storage across invocations
-    val rows = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
+    val rows = withNorm(rows0.select(col("vec_id"), col("embedding")))
       .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("norm")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("unit"))
       .repartition(spark.sparkContext.defaultParallelism) // small scans land in 1 split
@@ -269,21 +276,33 @@ object Ann {
     *    the IVF probe recall, and near-identical vectors share an argmax
     *    centroid, so planted duplicates are found with ~certainty. */
   def cosineNearDup(spark: SparkSession, dir: String, thresholdPct: Int = 32,
-                    exact: Boolean = true, maxRows: Long = 65536L): DataFrame = {
-    val thr = thresholdPct / 100.0
+                    exact: Boolean = true, maxRows: Long = 65536L): DataFrame =
+    cosinePairsOf(spark, emb(spark, dir), exact, maxRows)
+      .withColumn("cos_r4", round(col("cos"), 4))
+      .filter(col("cos_r4") >= thresholdPct / 100.0)
+      .select(col("id_a"), col("id_b"), col("cos_r4"))
+
+  /** Shared pair machinery over any (vec_id, embedding) frame: every
+    * unordered candidate pair with its exact cosine, UNTHRESHOLDED — the
+    * caller filters. exact=true is the guarded all-pairs join (the filter
+    * pipelines over it, nothing materializes); exact=false symmetrizes the
+    * IVF candidate directions. Used by cosineNearDup (q41) and the
+    * multimodal feature near-dup. */
+  def cosinePairsOf(spark: SparkSession, rows0: DataFrame,
+                    exact: Boolean, maxRows: Long = 65536L): DataFrame = {
     val pairs =
       if (exact) {
-        val e = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
+        val e = withNorm(rows0.select(col("vec_id"), col("embedding")))
         val n = e.count()
         require(n <= maxRows,
-          s"cosineNearDup(exact=true) is an all-pairs O(n²) join: $n rows > maxRows=$maxRows. " +
+          s"exact cosine pairing is an all-pairs O(n²) join: $n rows > maxRows=$maxRows. " +
             "Use exact=false (IVF candidates) or raise maxRows deliberately.")
         val q = e.repartition(spark.sparkContext.defaultParallelism)
         q.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("norm").as("qn"))
           .join(e.select(col("vec_id").as("id_b"), col("embedding").as("cv"),
             col("norm").as("cn")), col("id_a") < col("id_b"))
       } else {
-        val (rows, cands) = ivfCandidates(spark, dir, 0, 0, 5, 100000L)
+        val (rows, cands) = ivfCandidatesOf(spark, rows0, 0, 0, 5, 100000L)
         // symmetrize: a pair may surface in either probe direction
         cands.select(least(col("vec_id"), col("cand_id")).as("id_a"),
             greatest(col("vec_id"), col("cand_id")).as("id_b"))
@@ -294,9 +313,8 @@ object Ann {
             col("norm").as("cn")), "id_b")
       }
     pairs
-      .withColumn("cos_r4", round(cosine(col("qv"), col("cv"), col("qn"), col("cn")), 4))
-      .filter(col("cos_r4") >= thr)
-      .select(col("id_a"), col("id_b"), col("cos_r4"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 
   private def argmaxDot(u: Array[Double], cents: Array[Array[Double]]): Int = {

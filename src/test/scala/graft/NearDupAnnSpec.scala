@@ -221,5 +221,11 @@ class NearDupAnnSpec extends AnyFunSuite {
     val pairs = MultiModal.mediaNearDup(feats)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((5L, 9999L)), s"planted twin not found in $pairs")
+    // the IVF scale path (exact = false) is a verified subset of exact and
+    // still recalls the byte-identical twin
+    val ivf = MultiModal.mediaNearDup(feats, exact = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(pairs), s"IVF emitted unverified pairs: ${ivf -- pairs}")
+    assert(ivf.contains((5L, 9999L)), "IVF path must recall the planted twin")
   }
 }
