@@ -127,6 +127,7 @@ object Bench {
     locally {
       var st = "ok"
       var tIngest = 0.0
+      val tAttempt0 = System.nanoTime()
       try {
         // SETUP (error-isolated but NOT timed): write the WARC container
         // files once; the dir key carries the FULL config — a pages-only
@@ -153,6 +154,9 @@ object Bench {
         }
       } catch { case e: Throwable =>
         st = "err:" + e.getClass.getSimpleName
+        // record the elapsed-until-crash time, never a flattering 0.0
+        // (same invariant as the per-query loop)
+        tIngest = (System.nanoTime() - tAttempt0) / 1e9
         System.err.println(s"[bench] warc_ingest FAILED: ${e.getMessage}")
       }
       results += ("warc_ingest_e2e_200k" -> tIngest)

@@ -97,22 +97,16 @@ object Ann {
     * [[ivfTopK]], whose candidate count is sub-quadratic by construction). */
   def exactTopK(spark: SparkSession, dir: String, k: Int = 3,
                 maxRows: Long = 65536L): DataFrame = {
-    val e = withNorm(emb(spark, dir).select(col("vec_id"), col("embedding")))
-    val n = e.count() // narrow column-pruned scan; negligible vs the n² join
-    require(n <= maxRows,
-      s"exactTopK is an all-pairs O(n²) join: corpus has $n rows > maxRows=$maxRows " +
-        s"(~${n * n} candidate pairs). Use ivfTopK (sub-quadratic candidates, " +
-        "measured recall >= 0.9) or raise maxRows deliberately.")
-    // spread the streamed side: a small parquet scan lands in one split, and
-    // the nested-loop pair generation must fan out across cores
-    val q = e.repartition(spark.sparkContext.defaultParallelism)
-    val pairs = q.select(col("vec_id"), col("embedding").as("qv"), col("norm").as("qn"))
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-        col("norm").as("cn")), col("vec_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    // one shared guarded pair machinery ([[cosinePairsOf]]); each unordered
+    // pair mirrors into both directions for the per-vector ranking
+    val scored = cosinePairsOf(spark, emb(spark, dir), exact = true, maxRows)
+    val directed = scored.select(col("id_a").as("vec_id"),
+        col("id_b").as("neighbor_id"), col("cos").as("cos_sim"))
+      .unionByName(scored.select(col("id_b").as("vec_id"),
+        col("id_a").as("neighbor_id"), col("cos").as("cos_sim")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    directed.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("vec_id", "rank", "neighbor_id", "cos_sim")
   }
@@ -286,8 +280,14 @@ object Ann {
     * unordered candidate pair with its exact cosine, UNTHRESHOLDED — the
     * caller filters. exact=true is the guarded all-pairs join (the filter
     * pipelines over it, nothing materializes); exact=false symmetrizes the
-    * IVF candidate directions. Used by cosineNearDup (q41) and the
-    * multimodal feature near-dup. */
+    * IVF candidate directions. Used by exactTopK/cosineNearDup (q28/q41)
+    * and the multimodal feature near-dup.
+    *
+    * INPUT CONTRACT: `rows0` is evaluated several times (count guard or
+    * k-means sample, assignment, probes, both re-rank join sides) — it must
+    * be DETERMINISTIC, and a computed pipeline (feature extraction, not a
+    * scan) should be cached upstream or it re-executes per evaluation
+    * (MultiModal.mediaNearDup does exactly that via its slot cache). */
   def cosinePairsOf(spark: SparkSession, rows0: DataFrame,
                     exact: Boolean, maxRows: Long = 65536L): DataFrame = {
     val pairs =
@@ -296,7 +296,7 @@ object Ann {
         val n = e.count()
         require(n <= maxRows,
           s"exact cosine pairing is an all-pairs O(n²) join: $n rows > maxRows=$maxRows. " +
-            "Use exact=false (IVF candidates) or raise maxRows deliberately.")
+            "Use exact=false / ivfTopK (sub-quadratic candidates) or raise maxRows deliberately.")
         val q = e.repartition(spark.sparkContext.defaultParallelism)
         q.select(col("vec_id").as("id_a"), col("embedding").as("qv"), col("norm").as("qn"))
           .join(e.select(col("vec_id").as("id_b"), col("embedding").as("cv"),
