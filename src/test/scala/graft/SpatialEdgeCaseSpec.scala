@@ -1,0 +1,70 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.io.WKBWriter
+import graft.cells.CellIndex
+import graft.spatial.{BoundaryCellIndex, DistributedKnn, PointCellIndex, SpatialBoundary}
+
+/** Edge cases of the spatial core that the synthetic world ([40,48)×[0,8))
+  * never exercises: antimeridian wrap in both kNN paths, and the
+  * deterministic tie-break contract of boundary resolution. At planet scale
+  * (the north-star join is pages × planet boundaries) these are real inputs
+  * — Pacific pages sit on the ±180 seam, and admin polygons overlap at
+  * equal levels wherever mapping is inconsistent. */
+class SpatialEdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def rectWkb(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Array[Byte] = {
+    val gf = new GeometryFactory()
+    new WKBWriter().write(gf.createPolygon(Array(
+      new Coordinate(lon0, lat0), new Coordinate(lon1, lat0),
+      new Coordinate(lon1, lat1), new Coordinate(lon0, lat1),
+      new Coordinate(lon0, lat0))))
+  }
+
+  test("broadcast nearest/knn wrap the antimeridian") {
+    // target 1 is 0.04° of longitude away ACROSS the seam (~4.4 km);
+    // target 2 is ~10° away on the same side (~1100 km)
+    val idx = PointCellIndex.build(
+      Seq((1L, 0.0, 179.98), (2L, 0.0, 170.0)), level = 8)
+    val Some((id, d)) = idx.nearest(0.0, -179.98)
+    assert(id == 1L, s"picked $id at $d m — wrap not taken")
+    assert(d < 10000.0, s"wrapped distance $d m should be ~4.4 km")
+    val knn = idx.knn(0.0, -179.98, k = 2)
+    assert(knn.map(_._1) == Seq(1L, 2L))
+    assert(knn(0)._2 < knn(1)._2)
+  }
+
+  test("distributed ring-join kNN agrees with the broadcast index across the seam") {
+    import spark.implicits._
+    val pts = Seq((0L, 0.0, -179.97), (1L, 0.0, 179.2), (2L, 0.3, -179.99))
+    val tgts = Seq((10L, 0.0, 179.98), (11L, 0.0, -170.0))
+    val got = DistributedKnn.nearest(spark,
+        pts.toDF("id", "lat", "lon"), tgts.toDF("tid", "tlat", "tlon"), level = 8)
+    val rows = got.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    got.unpersist(false) // by contract the result is the call's only pinned frame
+    val idx = PointCellIndex.build(tgts, level = 8)
+    pts.foreach { case (id, lat, lon) =>
+      val Some((wantTid, wantD)) = idx.nearest(lat, lon)
+      val (gotTid, gotD) = rows(id)
+      assert(gotTid == wantTid, s"point $id: distributed=$gotTid broadcast=$wantTid")
+      assert(math.abs(gotD - wantD) < 1e-6)
+    }
+    // all three points are nearer the cross-seam target than the same-side one
+    assert(rows.values.forall(_._1 == 10L))
+  }
+
+  test("resolve tie-breaks: deeper level wins, then min id at equal level") {
+    // two IDENTICAL level-6 rects (ids 9 and 5) + one deeper level-8 rect
+    val b5 = SpatialBoundary(5L, 6, "A", rectWkb(0.0, 40.0, 2.0, 42.0))
+    val b9 = SpatialBoundary(9L, 6, "B", rectWkb(0.0, 40.0, 2.0, 42.0))
+    val b7 = SpatialBoundary(7L, 8, "A/C", rectWkb(0.9, 40.9, 1.1, 41.1))
+    val idx = BoundaryCellIndex.build(Seq(b9, b5, b7), maxLevel = 8)
+    assert(idx.containing(41.0, 1.0).map(_.id).toSet == Set(5L, 7L, 9L))
+    assert(idx.resolve(41.0, 1.0).map(_.id).contains(7L)) // deepest wins
+    val flat = BoundaryCellIndex.build(Seq(b9, b5), maxLevel = 8)
+    assert(flat.resolve(41.0, 1.0).map(_.id).contains(5L)) // min id at tie
+    assert(flat.resolve(50.0, 1.0).isEmpty) // outside every boundary
+  }
+}
