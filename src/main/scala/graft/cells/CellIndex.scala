@@ -170,11 +170,45 @@ object CellIndex {
     gf.toGeometry(new Envelope(x0, x1, y0, y1))
   }
 
+  private lazy val worldStrip: Geometry =
+    gf.toGeometry(new Envelope(-180.0, 180.0, -90.0, 90.0))
+
+  /** Normalize a geometry whose longitudes run past ±180 — the common
+    * encoding for antimeridian-crossing polygons (e.g. Fiji as lon
+    * 177..183) — into the equivalent geometry inside [-180,180]: the
+    * in-range clip unioned with the overflow shifted by ∓360. In-range
+    * geometry returns the SAME instance (zero cost on the common path), so
+    * callers can use `eq` to skip re-serialization. Polygons encoded with a
+    * raw +179→-179 coordinate jump (no overflow) are geometrically a
+    * wrong-way world-spanning ring and are NOT detected — pre-split those
+    * at the seam (as OSM multipolygon exports already do). A point at
+    * exactly lon ±180 lies on the normalized parts' boundary and is not
+    * `contains`-matched — consistent with the engine-wide exclusive-edge
+    * containment semantics. */
+  def normalizeSeam(geom: Geometry): Geometry = {
+    val env = geom.getEnvelopeInternal
+    if (env.getMinX >= -180.0 && env.getMaxX <= 180.0) geom
+    else {
+      val parts = new ArrayBuffer[Geometry]
+      var shift = -360.0
+      while (shift <= 360.0) {
+        val g =
+          if (shift == 0.0) geom
+          else org.locationtech.jts.geom.util.AffineTransformation
+            .translationInstance(shift, 0.0).transform(geom)
+        val clipped = g.intersection(worldStrip)
+        if (!clipped.isEmpty) parts += clipped
+        shift += 360.0
+      }
+      parts.reduce(_.union(_)) // 2-3 parts: plain union, no cascade needed
+    }
+  }
+
   /** Compact covering of `geom` with cells of level ≤ maxLevel: interior
     * cells stay coarse, boundary cells refine to maxLevel. Output cells are
     * disjoint and their union contains geom (within maxLevel resolution). */
   def cover(geom: Geometry, maxLevel: Int, minLevel: Int = 0): Array[Long] = {
-    val prep = PreparedGeometryFactory.prepare(geom)
+    val prep = PreparedGeometryFactory.prepare(normalizeSeam(geom))
     val out = new ArrayBuffer[Long]
     def rec(cell: Long): Unit = {
       val cg = cellGeometry(cell)

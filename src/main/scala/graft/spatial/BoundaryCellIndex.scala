@@ -86,12 +86,20 @@ class BoundaryCellIndex(
 }
 
 object BoundaryCellIndex {
-  /** Build the cover index at `maxLevel` resolution. */
+  /** Build the cover index at `maxLevel` resolution. Seam-crossing
+    * polygons (lon past ±180) are normalized once here so the stored WKB —
+    * which the executor-side PIP refine prepares — matches the cover. */
   def build(bs: Seq[SpatialBoundary], maxLevel: Int): BoundaryCellIndex = {
     val reader = new WKBReader()
     val entries = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Boolean)]]
     val levels = mutable.SortedSet.empty[Int]
-    bs.foreach { b =>
+    val normed = bs.map { b =>
+      val raw = reader.read(b.wkb)
+      val geom = CellIndex.normalizeSeam(raw)
+      if (geom eq raw) b
+      else b.copy(wkb = new org.locationtech.jts.io.WKBWriter().write(geom))
+    }
+    normed.foreach { b =>
       val geom = reader.read(b.wkb)
       val prepB = PreparedGeometryFactory.prepare(geom)
       CellIndex.cover(geom, maxLevel).foreach { cell =>
@@ -102,7 +110,7 @@ object BoundaryCellIndex {
     }
     new BoundaryCellIndex(levels.toArray,
       entries.map { case (k, v) => k -> v.toArray }.toMap,
-      bs.map(b => b.id -> b).toMap)
+      normed.map(b => b.id -> b).toMap)
   }
 }
 

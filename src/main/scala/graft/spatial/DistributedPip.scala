@@ -42,12 +42,18 @@ object DistributedPip {
       .mapPartitions { it =>
         val reader = new WKBReader()
         it.flatMap { case (id, wkb) =>
-          val geom = reader.read(wkb)
+          // seam-crossing zones normalize once; the refine ships the
+          // NORMALIZED bytes so both sides of the predicate agree
+          val raw = reader.read(wkb)
+          val geom = CellIndex.normalizeSeam(raw)
+          val nwkb =
+            if (geom eq raw) wkb
+            else new org.locationtech.jts.io.WKBWriter().write(geom)
           val prep = PreparedGeometryFactory.prepare(geom)
           // minLevel = maxLevel = level → uniform single-level cover
           CellIndex.cover(geom, level, level).iterator.map { cell =>
             val full = prep.containsProperly(CellIndex.cellGeometry(cell))
-            (cell, id, full, if (full) null else wkb)
+            (cell, id, full, if (full) null else nwkb)
           }
         }
       }.toDF("cell", "boundary_id", "full", "wkb")

@@ -55,6 +55,50 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(rows.values.forall(_._1 == 10L))
   }
 
+  test("seam-crossing polygon: cover, broadcast PIP, and distributed PIP all wrap") {
+    import spark.implicits._
+    // Fiji-style encoding: lon 179..181 = crosses the seam into -179
+    val seam = SpatialBoundary(1L, 6, "Seam", rectWkb(179.0, -1.0, 181.0, 1.0))
+    val gf = new GeometryFactory()
+    val geom = gf.createPolygon(Array(
+      new Coordinate(179.0, -1.0), new Coordinate(181.0, -1.0),
+      new Coordinate(181.0, 1.0), new Coordinate(179.0, 1.0),
+      new Coordinate(179.0, -1.0)))
+
+    // in-range geometry passes through normalizeSeam untouched (same ref)
+    val inRange = gf.createPolygon(Array(
+      new Coordinate(0.0, 40.0), new Coordinate(2.0, 40.0),
+      new Coordinate(2.0, 42.0), new Coordinate(0.0, 42.0),
+      new Coordinate(0.0, 40.0)))
+    assert(CellIndex.normalizeSeam(inRange) eq inRange)
+
+    // the cover reaches cells on BOTH sides of the seam
+    val cover = CellIndex.cover(geom, 8)
+    def coversPoint(lat: Double, lon: Double): Boolean = {
+      val leaf = CellIndex.cellOf(lat, lon, 8)
+      cover.exists(c => CellIndex.contains(c, CellIndex.parentAt(leaf, CellIndex.level(c))))
+    }
+    assert(coversPoint(0.0, 179.5) && coversPoint(0.0, -179.5),
+      "cover missing one side of the seam")
+    assert(!coversPoint(0.0, 170.0))
+
+    // broadcast index: containment on both sides, none far away
+    val idx = BoundaryCellIndex.build(Seq(seam), maxLevel = 10)
+    assert(idx.containing(0.0, 179.5).map(_.id) == Seq(1L))
+    assert(idx.containing(0.0, -179.5).map(_.id) == Seq(1L))
+    assert(idx.containing(0.0, 170.0).isEmpty)
+    assert(idx.containing(2.0, -179.5).isEmpty) // outside latitudinally
+
+    // distributed fact×fact path agrees point-for-point
+    val pts = Seq((0L, 0.0, 179.5), (1L, 0.0, -179.5), (2L, 0.0, 170.0), (3L, 2.0, -179.5))
+    val got = graft.spatial.DistributedPip.containsJoin(spark,
+        pts.toDF("id", "lat", "lon"),
+        Seq((1L, rectWkb(179.0, -1.0, 181.0, 1.0))).toDF("boundary_id", "wkb"),
+        level = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 1L))
+  }
+
   test("resolve tie-breaks: deeper level wins, then min id at equal level") {
     // two IDENTICAL level-6 rects (ids 9 and 5) + one deeper level-8 rect
     val b5 = SpatialBoundary(5L, 6, "A", rectWkb(0.0, 40.0, 2.0, 42.0))
