@@ -37,7 +37,11 @@ object SpatialOps {
     val cells = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
     val ringWkb = mutable.HashMap.empty[Long, Array[Byte]]
     bs.foreach { b =>
-      val ring = reader.read(b.wkb).getBoundary
+      // seam note: take the RAW polygon's boundary FIRST, then normalize
+      // the ring — normalizing the polygon first would add artificial
+      // edges along the ±180 clip line and flag every seam-crossing line
+      // as a border crossing
+      val ring = CellIndex.normalizeSeam(reader.read(b.wkb).getBoundary)
       ringWkb(b.id) = writer.write(ring)
       CellIndex.cover(ring, level).foreach { c =>
         // ring cover cells can be coarser than `level` on straight runs;
@@ -66,7 +70,7 @@ object SpatialOps {
       .mapPartitions { it =>
         val reader = new WKBReader()
         it.flatMap { case (lineId, wkb) =>
-          val geom = reader.read(wkb)
+          val geom = CellIndex.normalizeSeam(reader.read(wkb))
           val ix = idx.value
           // candidate boundaries: ring cells touched by the line's own cover
           val cands = CellIndex.cover(geom, ix.level).iterator

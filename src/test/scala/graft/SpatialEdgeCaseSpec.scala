@@ -99,6 +99,30 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L))
   }
 
+  test("crossings wrap the seam without fabricating border hits on the clip line") {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    def lineWkb(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Array[Byte] =
+      w.write(gf.createLineString(Array(
+        new Coordinate(lon0, lat0), new Coordinate(lon1, lat1))))
+    val seam = SpatialBoundary(1L, 6, "Seam", rectWkb(179.0, -1.0, 181.0, 1.0))
+    val lines = Seq(
+      // crosses the TRUE border (the lon-181 edge, normalized to -179)
+      (0L, lineWkb(-179.5, 0.0, -178.5, 0.0)),
+      // wholly interior but crossing the SEAM — must NOT be flagged
+      // (raw lon 179.5..180.5: catches artificial clip-line edges)
+      (1L, lineWkb(179.5, 0.0, 180.5, 0.0)),
+      // crosses the lon-179 edge on the unwrapped side
+      (2L, lineWkb(178.5, 0.0, 179.5, 0.0)),
+      // far away
+      (3L, lineWkb(170.0, 0.0, 171.0, 0.0)))
+    val got = graft.spatial.SpatialOps.crossings(spark,
+        lines.toDF("line_id", "wkb"), Seq(seam), level = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L), s"got $got")
+  }
+
   test("resolve tie-breaks: deeper level wins, then min id at equal level") {
     // two IDENTICAL level-6 rects (ids 9 and 5) + one deeper level-8 rect
     val b5 = SpatialBoundary(5L, 6, "A", rectWkb(0.0, 40.0, 2.0, 42.0))
