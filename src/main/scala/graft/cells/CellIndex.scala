@@ -200,7 +200,10 @@ object CellIndex {
         if (!clipped.isEmpty) parts += clipped
         shift += 360.0
       }
-      parts.reduce(_.union(_)) // 2-3 parts: plain union, no cascade needed
+      // degenerate input (e.g. lat entirely past ±90 as well) can clip to
+      // nothing everywhere — return empty, not a reduce-on-empty crash
+      if (parts.isEmpty) geom.getFactory.createEmpty(geom.getDimension)
+      else parts.reduce(_.union(_)) // 2-3 parts: plain union, no cascade
     }
   }
 

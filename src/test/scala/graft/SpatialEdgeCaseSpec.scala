@@ -72,6 +72,13 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
       new Coordinate(0.0, 40.0)))
     assert(CellIndex.normalizeSeam(inRange) eq inRange)
 
+    // degenerate: lon overflow AND lat entirely past the poles → empty, no crash
+    val degenerate = gf.createPolygon(Array(
+      new Coordinate(200.0, 95.0), new Coordinate(220.0, 95.0),
+      new Coordinate(220.0, 97.0), new Coordinate(200.0, 97.0),
+      new Coordinate(200.0, 95.0)))
+    assert(CellIndex.normalizeSeam(degenerate).isEmpty)
+
     // the cover reaches cells on BOTH sides of the seam
     val cover = CellIndex.cover(geom, 8)
     def coversPoint(lat: Double, lon: Double): Boolean = {
