@@ -203,7 +203,23 @@ object CellIndex {
       // degenerate input (e.g. lat entirely past ±90 as well) can clip to
       // nothing everywhere — return empty, not a reduce-on-empty crash
       if (parts.isEmpty) geom.getFactory.createEmpty(geom.getDimension)
-      else parts.reduce(_.union(_)) // 2-3 parts: plain union, no cascade
+      else {
+        val unioned = parts.reduce(_.union(_)) // 2-3 parts: plain union
+        // a vertex/edge exactly ON ±180 clips to zero-width residue (a
+        // point/line), making the union a mixed GeometryCollection — which
+        // would defeat PreparedPolygon fast paths and containsProperly
+        // full-cell detection downstream. Keep only components of the
+        // input's dimension.
+        val dim = geom.getDimension
+        val comps = (0 until unioned.getNumGeometries)
+          .map(unioned.getGeometryN).filter(_.getDimension == dim)
+        if (comps.isEmpty) geom.getFactory.createEmpty(dim)
+        else if (comps.size == 1) comps.head
+        else {
+          import scala.jdk.CollectionConverters._
+          geom.getFactory.buildGeometry(comps.asJava)
+        }
+      }
     }
   }
 

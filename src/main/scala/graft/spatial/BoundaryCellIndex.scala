@@ -7,7 +7,14 @@ import org.locationtech.jts.io.WKBReader
 import scala.collection.mutable
 
 /** One admin boundary on the spatial side: id, admin level, display chain,
-  * geometry as WKB (serializable; prepared lazily per executor). */
+  * geometry as WKB (serializable; prepared lazily per executor).
+  *
+  * REPRESENTATION INVARIANT: records handed TO the engine carry the raw
+  * source encoding (seam-crossing polygons may run past lon ±180); records
+  * read back FROM a built [[BoundaryCellIndex]] carry seam-NORMALIZED wkb.
+  * [[graft.spatial.SpatialOps.crossings]] requires the RAW form (it must
+  * take the border ring before normalizing, or the ±180 clip line would
+  * read as a border) — do not feed an index's boundaries back into it. */
 case class SpatialBoundary(id: Long, level: Int, chain: String, wkb: Array[Byte])
 
 /** Broadcast side of the spatial containment join (J7 in SURVEY.md §2.3):
@@ -93,14 +100,18 @@ object BoundaryCellIndex {
     val reader = new WKBReader()
     val entries = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Boolean)]]
     val levels = mutable.SortedSet.empty[Int]
+    // one parse per boundary: the normalized geometry feeds prepare/cover
+    // directly; only seam boundaries pay a WKB re-serialization (for the
+    // stored copy the executor-side refine re-reads)
     val normed = bs.map { b =>
       val raw = reader.read(b.wkb)
       val geom = CellIndex.normalizeSeam(raw)
-      if (geom eq raw) b
-      else b.copy(wkb = new org.locationtech.jts.io.WKBWriter().write(geom))
+      val nb =
+        if (geom eq raw) b
+        else b.copy(wkb = new org.locationtech.jts.io.WKBWriter().write(geom))
+      (nb, geom)
     }
-    normed.foreach { b =>
-      val geom = reader.read(b.wkb)
+    normed.foreach { case (b, geom) =>
       val prepB = PreparedGeometryFactory.prepare(geom)
       CellIndex.cover(geom, maxLevel).foreach { cell =>
         val full = prepB.containsProperly(CellIndex.cellGeometry(cell))
@@ -110,7 +121,7 @@ object BoundaryCellIndex {
     }
     new BoundaryCellIndex(levels.toArray,
       entries.map { case (k, v) => k -> v.toArray }.toMap,
-      normed.map(b => b.id -> b).toMap)
+      normed.map { case (b, _) => b.id -> b }.toMap)
   }
 }
 

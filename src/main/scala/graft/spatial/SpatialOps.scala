@@ -43,21 +43,14 @@ object SpatialOps {
       // as a border crossing
       val ring = CellIndex.normalizeSeam(reader.read(b.wkb).getBoundary)
       ringWkb(b.id) = writer.write(ring)
+      // lineal geometry never containsProperly a 2-D cell, so every cover
+      // cell is already at exactly `level` — no expansion needed
       CellIndex.cover(ring, level).foreach { c =>
-        // ring cover cells can be coarser than `level` on straight runs;
-        // expand to `level` so the probe side needs only one level
-        val leaves =
-          if (CellIndex.level(c) == level) Array(c)
-          else expand(c, level)
-        leaves.foreach(l => cells.getOrElseUpdate(l, mutable.ArrayBuffer.empty) += b.id)
+        cells.getOrElseUpdate(c, mutable.ArrayBuffer.empty) += b.id
       }
     }
     new RingIndex(level, cells.map { case (k, v) => k -> v.distinct.toArray }.toMap, ringWkb.toMap)
   }
-
-  private def expand(cell: Long, level: Int): Array[Long] =
-    if (CellIndex.level(cell) == level) Array(cell)
-    else CellIndex.children(cell).flatMap(expand(_, level))
 
   /** lines: (line_id LONG, wkb BINARY of a LineString).
     * Returns (line_id, boundary_id) for every line crossing that
@@ -72,9 +65,9 @@ object SpatialOps {
         it.flatMap { case (lineId, wkb) =>
           val geom = CellIndex.normalizeSeam(reader.read(wkb))
           val ix = idx.value
-          // candidate boundaries: ring cells touched by the line's own cover
+          // candidate boundaries: ring cells touched by the line's own
+          // cover (lineal probe → cover is already uniformly at `level`)
           val cands = CellIndex.cover(geom, ix.level).iterator
-            .flatMap(c => expand(c, ix.level))
             .flatMap(c => ix.cells.getOrElse(c, Array.empty[Long]))
             .toSet
           cands.iterator

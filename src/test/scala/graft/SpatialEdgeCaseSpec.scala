@@ -79,6 +79,23 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
       new Coordinate(200.0, 95.0)))
     assert(CellIndex.normalizeSeam(degenerate).isEmpty)
 
+    // an edge exactly ON the seam clips to a zero-width line on the east
+    // side; the residue must be dropped, not returned as a mixed
+    // GeometryCollection (rect [180,182] = [-180,-178] in-range)
+    val onSeam = gf.createPolygon(Array(
+      new Coordinate(180.0, -1.0), new Coordinate(182.0, -1.0),
+      new Coordinate(182.0, 1.0), new Coordinate(180.0, 1.0),
+      new Coordinate(180.0, -1.0)))
+    val normOnSeam = CellIndex.normalizeSeam(onSeam)
+    assert(normOnSeam.getDimension == 2)
+    assert((0 until normOnSeam.getNumGeometries)
+      .forall(i => normOnSeam.getGeometryN(i).getDimension == 2),
+      s"clip residue leaked: $normOnSeam")
+    val idxOnSeam = BoundaryCellIndex.build(
+      Seq(SpatialBoundary(2L, 6, "E", new WKBWriter().write(onSeam))), maxLevel = 10)
+    assert(idxOnSeam.containing(0.0, -179.0).map(_.id) == Seq(2L))
+    assert(idxOnSeam.containing(0.0, 179.5).isEmpty) // no phantom east-side hit
+
     // the cover reaches cells on BOTH sides of the seam
     val cover = CellIndex.cover(geom, 8)
     def coversPoint(lat: Double, lon: Double): Boolean = {
