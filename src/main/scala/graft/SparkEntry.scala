@@ -200,6 +200,19 @@ object SparkEntry {
                                    zones, level = 8)
                                  .select(col("point_id"), col("boundary_id"))
                              }),
+    "q45_zonal_distributed" -> ((s, d) => {
+                               // q37's semantics with zones as a TABLE (not
+                               // broadcast): centroid containment through the
+                               // DistributedPip cover machinery, raster value
+                               // riding the join as payload — same oracle SQL
+                               import s.implicits._
+                               val raster = graft.spatial.Raster.rasterize(
+                                 s, synthPoints(s, d), level = 8)
+                               val zones = graft.web.Flagship.boundaries(spatialCfg)
+                                 .map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+                               graft.spatial.Raster.zonalStatsDistributed(
+                                 s, raster, zones, coverLevel = 8)
+                             }),
     "q36_knn_snap"       -> ((s, d) => {
                                // J9 kNN snap through the DISTRIBUTED ring-join
                                // path (fact×fact shape); oracle = brute-force
@@ -480,6 +493,38 @@ object SparkEntry {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "q37_zonal_stats" ->
+      """WITH pts AS (
+           SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), cells AS (
+           SELECT CAST(FLOOR((lon + 180) / 360 * 256) AS BIGINT) AS i,
+                  CAST(FLOOR((lat + 90) / 180 * 256) AS BIGINT) AS j,
+                  count(*) AS v
+           FROM pts GROUP BY 1, 2
+         ), cent AS (
+           SELECT v, (i + 0.5) / 256 * 360 - 180 AS clon,
+                  (j + 0.5) / 256 * 180 - 90 AS clat
+           FROM cells
+         ), rects AS (
+           SELECT CAST(1 AS BIGINT) AS boundary_id, 0.0 AS x0, 40.0 AS y0, 8.0 AS x1, 48.0 AS y1
+           UNION ALL
+           SELECT 100+pi*2+pj, pi*4.0, 40+pj*4.0, pi*4.0+4, 40+pj*4.0+4
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj)
+           UNION ALL
+           SELECT (100+pi*2+pj)*1000 + ci*2+cj, pi*4.0+ci*2, 40+pj*4.0+cj*2,
+                  pi*4.0+ci*2+2, 40+pj*4.0+cj*2+2
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         )
+         SELECT r.boundary_id, count(*) AS n_cells, CAST(sum(c.v) AS BIGINT) AS sum_v
+         FROM cent c JOIN rects r
+           ON c.clat > r.y0 AND c.clat < r.y1 AND c.clon > r.x0 AND c.clon < r.x1
+         GROUP BY 1""",
+    // q45 computes the SAME result as q37 through the fact×fact path
+    // (zones as a table, DistributedPip cover join) — one oracle SQL, two
+    // operator implementations under test
+    "q45_zonal_distributed" ->
       """WITH pts AS (
            SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
                   ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon

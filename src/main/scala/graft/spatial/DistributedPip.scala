@@ -1,8 +1,8 @@
 package graft.spatial
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory}
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 import org.locationtech.jts.io.WKBReader
 import graft.cells.CellIndex
@@ -15,64 +15,134 @@ import graft.cells.CellIndex
   *
   * Shape: zones flatMap their UNIFORM level-`level` cell cover into a
   * (cell, zone) table — `full` cells (strictly inside) skip the exact
-  * refine AND drop their geometry payload, so the WKB bytes ride the
-  * shuffle only for border cells; points key by their level-`level` cell.
-  * ONE shuffle on cell id joins them; the refine is an exact JTS
-  * point-in-polygon inside a narrow mapPartitions with a per-task
-  * prepared-geometry cache (each task sees few distinct zones because the
-  * join co-locates by cell). Hot cells (a dense metro) split under AQE
-  * skew handling; pre-salting the point side composes via
-  * [[graft.ops.Skew]] if an exchange is reused.
+  * refine AND drop their geometry payload; border cells ship the zone
+  * geometry CLIPPED to the cell's (slightly expanded) envelope, so the
+  * bytes-per-cell riding the shuffle are O(local boundary complexity), not
+  * O(whole-zone vertices) — a coastline zone with 10⁵ border cells no
+  * longer replicates its full ring 10⁵×. Points key by their
+  * level-`level` cell; ONE shuffle on cell id joins them; the refine is an
+  * exact JTS point-in-polygon with a BOUNDED per-task LRU of prepared
+  * clipped geometries (each task sees few distinct (cell, zone) pairs
+  * because the join co-locates by cell; the LRU caps executor memory when
+  * an AQE skew split still co-locates many border zones). Hot cells (a
+  * dense metro) split under AQE skew handling; pre-salting the point side
+  * composes via [[graft.ops.Skew]] if an exchange is reused.
+  *
+  * Clip-exactness: the clip envelope is the cell expanded by 10⁻⁶ of its
+  * width, so every point assigned to the cell (including points exactly on
+  * the cell edge, which floor-assignment puts in one cell) is INTERIOR to
+  * the clip window — for such points, p ∈ interior(zone) ⟺
+  * p ∈ interior(zone ∩ window). Lower-dimensional residue of the
+  * intersection (a zone edge lying exactly on the window edge) is dropped:
+  * points there are on the zone boundary, which `contains` excludes in the
+  * unclipped predicate too (same rule as the round-3 normalizeSeam fix).
   *
   * Same containment predicate as the broadcast path
   * (BoundaryCellIndex.foreachContaining): `full || prepared.contains(pt)`.
   */
 object DistributedPip {
 
-  /** points: (id, lat, lon); zones: (boundary_id, wkb).
-    * Returns (point_id, lat, lon, boundary_id) — one row per containing
-    * zone (zones may overlap/nest). */
+  /** Extra columns of `points` beyond (id, lat, lon) ride through the join
+    * untouched — [[Raster.zonalStatsDistributed]] threads the raster value
+    * this way instead of paying a second shuffle to re-join it. */
+  val ReservedCols: Set[String] = Set("cell", "boundary_id", "pip_full", "pip_wkb")
+
+  /** points: (id, lat, lon, payload...); zones: (boundary_id, wkb).
+    * Returns (point_id, lat, lon, payload..., boundary_id) — one row per
+    * containing zone (zones may overlap/nest). */
   def containsJoin(spark: SparkSession, points: DataFrame, zones: DataFrame,
                    level: Int): DataFrame = {
     import spark.implicits._
     graft.functions.GeoFunctions.register(spark)
+    require(points.columns.forall(c => !ReservedCols.contains(c)),
+      s"point columns collide with reserved names: ${ReservedCols.mkString(",")}")
 
     val cover = zones.select(col("boundary_id"), col("wkb"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val reader = new WKBReader()
+        val writer = new org.locationtech.jts.io.WKBWriter()
         it.flatMap { case (id, wkb) =>
-          // seam-crossing zones normalize once; the refine ships the
-          // NORMALIZED bytes so both sides of the predicate agree
-          val raw = reader.read(wkb)
-          val geom = CellIndex.normalizeSeam(raw)
-          val nwkb =
-            if (geom eq raw) wkb
-            else new org.locationtech.jts.io.WKBWriter().write(geom)
+          // seam-crossing zones normalize once; the refine ships CLIPPED
+          // normalized bytes so both sides of the predicate agree
+          val geom = CellIndex.normalizeSeam(reader.read(wkb))
           val prep = PreparedGeometryFactory.prepare(geom)
           // minLevel = maxLevel = level → uniform single-level cover
           CellIndex.cover(geom, level, level).iterator.map { cell =>
-            val full = prep.containsProperly(CellIndex.cellGeometry(cell))
-            (cell, id, full, if (full) null else nwkb)
+            val cg = CellIndex.cellGeometry(cell)
+            val full = prep.containsProperly(cg)
+            val payload =
+              if (full) null
+              else writer.write(clipToCell(geom, cell))
+            (cell, id, full, payload)
           }
         }
-      }.toDF("cell", "boundary_id", "full", "wkb")
+      }.toDF("cell", "boundary_id", "pip_full", "pip_wkb")
 
+    val ptCols = points.columns
     val pts = points
       .withColumn("cell", graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), level))
-      .select(col("cell"), col("id"), col("lat"), col("lon"))
 
+    val outCols: Seq[Column] =
+      col(ptCols.head).as("point_id") +: ptCols.tail.map(col) :+ col("boundary_id")
     pts.join(cover, "cell")
-      .select(col("id"), col("lat"), col("lon"), col("boundary_id"), col("full"), col("wkb"))
-      .as[(Long, Double, Double, Long, Boolean, Array[Byte])]
-      .mapPartitions { it =>
-        val gf = new GeometryFactory()
-        val cache = scala.collection.mutable.HashMap.empty[Long, PreparedGeometry]
-        it.filter { case (_, lat, lon, bid, full, wkb) =>
-          full || cache.getOrElseUpdate(bid,
-              PreparedGeometryFactory.prepare(new WKBReader().read(wkb)))
-            .contains(gf.createPoint(new Coordinate(lon, lat)))
-        }.map { case (id, lat, lon, bid, _, _) => (id, lat, lon, bid) }
-      }.toDF("point_id", "lat", "lon", "boundary_id")
+      .filter(pipRefine(col("cell"), col("boundary_id"), col("pip_full"),
+        col("pip_wkb"), col("lat"), col("lon")))
+      .select(outCols: _*)
+  }
+
+  /** Zone geometry ∩ the cell's expanded envelope, polygonal components
+    * only (see clip-exactness note in the object doc). Falls back to the
+    * unclipped geometry if the overlay leaves nothing 2-D (cannot happen
+    * for a border cell of a valid polygon, but robustness beats an empty
+    * refine geometry silently dropping points). */
+  private[graft] def clipToCell(geom: Geometry, cell: Long): Geometry = {
+    val (lonMin, latMin, lonMax, latMax) = CellIndex.bounds(cell)
+    val eps = (lonMax - lonMin) * 1e-6
+    val gf = geom.getFactory
+    val window = gf.toGeometry(new org.locationtech.jts.geom.Envelope(
+      lonMin - eps, lonMax + eps, latMin - eps, latMax + eps))
+    val clipped = geom.intersection(window)
+    val polys = org.locationtech.jts.geom.util.PolygonExtracter.getPolygons(clipped)
+    if (polys.isEmpty) geom
+    else if (polys.size == 1) polys.get(0).asInstanceOf[Geometry]
+    else gf.buildGeometry(polys)
+  }
+
+  /** The exact-refine predicate as a deterministic UDF so arbitrary payload
+    * columns survive the join without a typed encoder. The prepared-
+    * geometry cache is a per-task-deserialization LRU keyed by
+    * (cell, zone) — the clipped bytes differ per cell — and BOUNDED at
+    * [[CacheCap]] entries (prepared clipped geometries are cheap to rebuild
+    * on a miss; an unbounded map risked executor pressure on skew-split
+    * hot cells). */
+  private val CacheCap = 512
+
+  private class RefineHelper extends Serializable {
+    @transient private lazy val gf = new GeometryFactory()
+    @transient private lazy val cache =
+      new java.util.LinkedHashMap[(Long, Long), PreparedGeometry](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long), PreparedGeometry]): Boolean =
+          size() > CacheCap
+      }
+    def contains(cell: Long, bid: Long, wkb: Array[Byte], lat: Double, lon: Double): Boolean = {
+      var prep = cache.get((cell, bid))
+      if (prep == null) {
+        prep = PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
+        cache.put((cell, bid), prep)
+      }
+      prep.contains(gf.createPoint(new Coordinate(lon, lat)))
+    }
+  }
+
+  private def pipRefine(cell: Column, bid: Column, full: Column,
+                        wkb: Column, lat: Column, lon: Column): Column = {
+    val helper = new RefineHelper
+    val f = udf { (cell: Long, bid: Long, full: Boolean, wkb: Array[Byte],
+                   lat: Double, lon: Double) =>
+      full || helper.contains(cell, bid, wkb, lat, lon)
+    }
+    f(cell, bid, full, wkb, lat, lon)
   }
 }

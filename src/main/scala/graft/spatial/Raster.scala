@@ -48,6 +48,24 @@ object Raster {
       .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"))
   }
 
+  /** Fact×fact zonal statistics: same semantics as [[zonalStats]] but with
+    * zones as a TABLE (boundary_id, wkb) routed through
+    * [[DistributedPip.containsJoin]]'s cover machinery — the path for zone
+    * sets beyond executor memory (per-tenant fences at 10⁸ zones), where
+    * the broadcast index cannot be built. The raster value rides the PIP
+    * join as a payload column, so the whole operator is the one cover-join
+    * shuffle plus the final groupBy — no second shuffle to re-attach `v`. */
+  def zonalStatsDistributed(spark: SparkSession, raster: DataFrame, zones: DataFrame,
+                            coverLevel: Int): DataFrame = {
+    val cent = udf { (cell: Long) => CellIndex.centroid(cell) }
+    val pts = raster.select(col("cell").as("id"), col("v"))
+      .withColumn("c", cent(col("id")))
+      .select(col("id"), col("c._1").as("lat"), col("c._2").as("lon"), col("v"))
+    DistributedPip.containsJoin(spark, pts, zones, coverLevel)
+      .groupBy("boundary_id")
+      .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"))
+  }
+
   /** Raster→vector component labeling: 4-neighbor connected components of
     * the occupied cells, as iterative min-label propagation (the same
     * checkpointed-loop pattern as R1/R3 — no sequential state, each round

@@ -39,6 +39,26 @@ class RasterSpec extends AnyFunSuite {
     assert(got(103L) == (1L, 1L) && got(103003L) == (1L, 1L))
   }
 
+  test("distributed zonal stats equals the broadcast path on identical inputs") {
+    val cfg = SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
+    val zones: Seq[SpatialBoundary] = graft.web.Flagship.boundaries(cfg)
+    // hash-scattered points over the rect world → many occupied cells
+    val pts = (0L until 500L).map { i =>
+      (40.0 + math.floorMod(SynthWorld.mix(i), 79990L) / 10000.0,
+        math.floorMod(SynthWorld.mix(i * 7), 79990L) / 10000.0)
+    }.toDF("lat", "lon")
+    val raster = Raster.rasterize(spark, pts, level = 8)
+    val want = Raster.zonalStats(spark, raster, zones, coverLevel = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val zonesDf = zones.map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+    val got = Raster.zonalStatsDistributed(spark, raster, zonesDf, coverLevel = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+    // country sums nearly all points (edge cells whose centroid falls
+    // outside the rect drop their points — the documented centroid rule)
+    assert(want.nonEmpty && want(1L)._2 >= 450L)
+  }
+
   test("connected components label an L-tromino and an isolated cell correctly") {
     // L-shape: (5,5),(5,6),(6,5); isolated: (9,9); diagonal (7,7) NOT
     // connected to the L (4-adjacency)

@@ -147,6 +147,45 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(got == Set(0L, 2L), s"got $got")
   }
 
+  test("border-cell clip shrinks shuffle payload and preserves exact containment") {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    // high-vertex zone: a 4096-gon "coastline" circle, radius 2° at (44, 4)
+    val n = 4096
+    val ring = (0 to n).map { i =>
+      val a = 2 * math.Pi * (i % n) / n
+      new Coordinate(4.0 + 2.0 * math.cos(a), 44.0 + 2.0 * math.sin(a))
+    }.toArray
+    val poly = gf.createPolygon(ring)
+    val fullBytes = w.write(poly).length
+    // per-border-cell clipped payload at level 12 (cell ≈ 0.088°): each
+    // cell sees only its local arc — orders of magnitude below the full ring
+    val borderCells = CellIndex.cover(poly.getBoundary, 12, 12)
+    assert(borderCells.length > 100, s"expected a long border, got ${borderCells.length} cells")
+    val clippedSizes = borderCells.map(c =>
+      w.write(graft.spatial.DistributedPip.clipToCell(poly, c)).length)
+    val meanClipped = clippedSizes.map(_.toLong).sum / clippedSizes.length
+    assert(meanClipped * 20 < fullBytes,
+      s"clip ineffective: mean clipped $meanClipped B vs full $fullBytes B")
+    // exactness: the distributed join over the clipped payload matches the
+    // broadcast index point-for-point, including just-inside/outside spots
+    val pts = (0 until 400).map { i =>
+      val a = 2 * math.Pi * i / 400
+      val r = 1.995 + (i % 3) * 0.004 // radii 1.995 / 1.999 / 2.003: straddle the edge
+      (i.toLong, 44.0 + r * math.sin(a), 4.0 + r * math.cos(a))
+    }
+    val got = graft.spatial.DistributedPip.containsJoin(spark,
+        pts.toDF("id", "lat", "lon"),
+        Seq((7L, w.write(poly))).toDF("boundary_id", "wkb"), level = 12)
+      .collect().map(_.getLong(0)).toSet
+    val idx = BoundaryCellIndex.build(Seq(SpatialBoundary(7L, 6, "C", w.write(poly))), 12)
+    val want = pts.filter { case (_, lat, lon) => idx.containing(lat, lon).nonEmpty }
+      .map(_._1).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.nonEmpty && want.size < pts.size) // both classes exercised
+  }
+
   test("resolve tie-breaks: deeper level wins, then min id at equal level") {
     // two IDENTICAL level-6 rects (ids 9 and 5) + one deeper level-8 rect
     val b5 = SpatialBoundary(5L, 6, "A", rectWkb(0.0, 40.0, 2.0, 42.0))
