@@ -82,6 +82,27 @@ object SparkEntry {
                                .select(col("vec_id"), col("rank"), col("neighbor_id"))),
     "q30_media_features" -> ((s, d) => graft.multimodal.MultiModal.featureStats(s, 2000L)),
     "q41_cosine_neardup" -> ((s, d) => graft.sim.Ann.cosineNearDup(s, d, thresholdPct = 32)),
+    "q43_gazetteer_geoparse" -> ((s, d) => {
+                               // deployment's hot path: marker-less pages
+                               // matched by place-name mention via the
+                               // inverted-index token join (token-boundary
+                               // semantics — 'tab' must NOT match 'table',
+                               // 'spark nowhere' has a live first token but
+                               // no full sequence)
+                               import s.implicits._
+                               val gaz = Seq(
+                                 ("spark", 51.5, -0.12), ("table scan", 48.85, 2.35),
+                                 ("merge fast", 40.71, -74.0), ("dup", 35.68, 139.69),
+                                 ("tab", 1.0, 1.0), ("spark nowhere", 2.0, 2.0),
+                                 ("zzz", 3.0, 3.0))
+                                 .toDF("place_name", "g_lat", "g_lon")
+                               graft.web.Geocode.gazetteerMatch(
+                                   Relational.t(s, d, "documents")
+                                     .select(col("doc_id"), col("text")),
+                                   gaz, keepUnmatched = false)
+                                 .select(col("doc_id"), col("place_name"),
+                                   col("g_lat"), col("g_lon"))
+                             }),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
     "q32_tile_agg"       -> ((s, d) => {
                                // native codegen cell_of over deterministic
@@ -227,6 +248,23 @@ object SparkEntry {
                                    synthPoints(s, d).withColumnRenamed("point_id", "id"),
                                    targets, level = 12)
                                  .select(col("id").as("point_id"), col("nearest_tid"),
+                                   floor(col("nearest_dist_m")).cast("long").as("dist_m"))
+                             }),
+    "q44_knn_topk"       -> ((s, d) => {
+                               // J9 generalized: top-3 neighbors through the
+                               // SAME distributed ring-join loop (pool of k,
+                               // k-th-distance termination bound); oracle =
+                               // the q36 SQL with rn <= 3
+                               import s.implicits._
+                               val cfg = spatialCfg
+                               val targets = graft.synth.SynthWorld.buildings(cfg)
+                                 .map(b => (b.id, b.lat, b.lon))
+                                 .toDF("tid", "tlat", "tlon")
+                               graft.spatial.DistributedKnn.knn(s,
+                                   synthPoints(s, d).withColumnRenamed("point_id", "id"),
+                                   targets, level = 12, k = 3)
+                                 .select(col("id").as("point_id"), col("rank"),
+                                   col("nearest_tid"),
                                    floor(col("nearest_dist_m")).cast("long").as("dist_m"))
                              }),
   )
@@ -427,6 +465,24 @@ object SparkEntry {
                                                CAST(b.embedding AS DOUBLE[])), 4) AS cos_r4
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          ) WHERE cos_r4 >= 0.32""",
+    // token-boundary gazetteer match: name's space-joined token sequence
+    // occurs in the page's whitespace token stream; canonically-first
+    // (min place_name) entry wins per page
+    "q43_gazetteer_geoparse" ->
+      """WITH gaz(place_name, g_lat, g_lon) AS (
+           VALUES ('spark', 51.5, -0.12), ('table scan', 48.85, 2.35),
+                  ('merge fast', 40.71, -74.0), ('dup', 35.68, 139.69),
+                  ('tab', 1.0, 1.0), ('spark nowhere', 2.0, 2.0), ('zzz', 3.0, 3.0)
+         ), m AS (
+           SELECT d.doc_id, g.place_name, g.g_lat, g.g_lon
+           FROM documents d JOIN gaz g
+             ON contains(' ' || d.text || ' ', ' ' || g.place_name || ' ')
+         )
+         SELECT doc_id, place_name,
+                CAST(g_lat AS DOUBLE) AS g_lat, CAST(g_lon AS DOUBLE) AS g_lon
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY place_name) AS rn FROM m)
+         WHERE rn = 1""",
     "q31_sessionize" ->
       """WITH marked AS (
            SELECT user_id, ts, event_id,
@@ -627,5 +683,37 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY point_id
                                          ORDER BY dist ASC, bid ASC) AS rn
                FROM d) WHERE rn = 1""",
+    // q44 = the q36 oracle with rn <= 3: top-3 ranked neighbors per point
+    "q44_knn_topk" ->
+      """WITH pts AS (
+           SELECT c_custkey AS point_id,
+                  40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                  ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+           FROM customer
+         ), cities AS (
+           SELECT (100+pi*2+pj)*1000 + ci*2 + cj AS cid,
+                  pi*4.0 + ci*2 AS x0, 40 + pj*4.0 + cj*2 AS y0
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         ), bld AS (
+           SELECT cid*10000 + si*100 + bi AS bid,
+                  y0 + 2.0 * (si + 0.5) / 10 AS blat,
+                  x0 + 2.0 * (bi + 0.5) / 8 AS blon
+           FROM cities, generate_series(0,9) s(si), generate_series(0,7) t(bi)
+         ), d AS (
+           SELECT p.point_id, b.bid,
+                  2 * 6371008.8 * asin(least(1.0, sqrt(
+                    sin((radians(b.blat) - radians(p.lat)) / 2)
+                      * sin((radians(b.blat) - radians(p.lat)) / 2)
+                    + cos(radians(p.lat)) * cos(radians(b.blat))
+                      * sin(radians(b.blon - p.lon) / 2)
+                      * sin(radians(b.blon - p.lon) / 2)))) AS dist
+           FROM pts p, bld b
+         )
+         SELECT point_id, rn AS rank, bid AS nearest_tid, CAST(FLOOR(dist) AS BIGINT) AS dist_m
+         FROM (SELECT point_id, bid, dist,
+                      row_number() OVER (PARTITION BY point_id
+                                         ORDER BY dist ASC, bid ASC) AS rn
+               FROM d) WHERE rn <= 3""",
   )
 }

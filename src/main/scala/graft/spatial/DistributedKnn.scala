@@ -10,9 +10,10 @@ import graft.cells.CellIndex
   * buildings). Cell-ring expansion as iterative shuffle joins:
   *
   *   round r: unresolved points explode their ring-r cells ⋈ targets
-  *   bucketed by cell → per-point running best; a point finalizes one round
-  *   after its first hit (the next ring can still hold a closer target —
-  *   same guarantee as the broadcast PointCellIndex.nearest).
+  *   bucketed by cell → per-point running top-k pool; a point finalizes
+  *   once its k-th best distance is within the unscanned-ring lower bound
+  *   (the next ring can still hold a closer target — same guarantee as the
+  *   broadcast PointCellIndex.knn).
   *
   * Each round is one shuffle on cell id; resolved points leave the loop, so
   * round cost decays geometrically in dense regions. Hot cells are handled
@@ -22,20 +23,78 @@ import graft.cells.CellIndex
 object DistributedKnn {
 
   /** points: (id, lat, lon); targets: (tid, tlat, tlon).
-    * Returns (id, nearest_tid, nearest_dist_m). Points with no target
-    * within maxRing rings are dropped.
+    * Returns (id, rank, nearest_tid, nearest_dist_m) — up to `k` rows per
+    * point ranked by (distance asc, tid asc). Points see fewer than k rows
+    * only when fewer than k targets exist within maxRing rings; points
+    * with no target there are dropped.
     *
     * Rings are scanned in GEOMETRIC BATCHES ([0], [1], [2,4), [4,8), …):
     * each round is a full shuffle barrier, so O(log maxRing) rounds beats
     * one round per ring — at worst 2× the cells probed, and only for the
     * few points still unresolved in late rounds.
     *
-    * Termination is exact: a point finalizes once its best distance is
-    * within the geometric lower bound of all unscanned rings
-    * (firstUnscannedRing × minCellExtentM at the point's latitude —
-    * anisotropy-safe, same rule as the broadcast PointCellIndex). */
+    * Termination is exact: a point finalizes once it holds k candidates
+    * AND its k-th best distance is within the geometric lower bound of all
+    * unscanned rings (firstUnscannedRing × minCellExtentM at the point's
+    * latitude — anisotropy-safe, same rule as the broadcast
+    * PointCellIndex); after the last batch every point with any candidate
+    * finalizes. k=1 reduces to the round-3 `nearest` contract exactly. */
+  def knn(spark: SparkSession, points: DataFrame, targets: DataFrame,
+          level: Int, k: Int = 1, maxRing: Int = 64): DataFrame =
+    poolLoop(spark, points, targets, level, k, maxRing) match {
+      case None =>
+        points.limit(0).select(col("id"),
+          lit(0).as("rank"),
+          lit(null).cast("long").as("nearest_tid"),
+          lit(null).cast("double").as("nearest_dist_m"))
+      case Some(best) =>
+        val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
+        // the returned frame is the ONLY cache this call leaves behind;
+        // callers may unpersist it once consumed (DistributedKnnSpec
+        // asserts the persistent-RDD count returns to baseline after that)
+        val out = materialize(spark, best
+          .withColumn("rank", row_number().over(wBest))
+          .select(col("id"), col("rank"), col("tid").as("nearest_tid"),
+            col("d").as("nearest_dist_m")))
+        best.unpersist(false)
+        out
+    }
+
+  /** k = 1 snap: (id, nearest_tid, nearest_dist_m) — the q36/flagship
+    * contract, unchanged from round 3. */
   def nearest(spark: SparkSession, points: DataFrame, targets: DataFrame,
-              level: Int, maxRing: Int = 64): DataFrame = {
+              level: Int, maxRing: Int = 64): DataFrame =
+    poolLoop(spark, points, targets, level, k = 1, maxRing = maxRing) match {
+      case None =>
+        points.limit(0).select(col("id"),
+          lit(null).cast("long").as("nearest_tid"),
+          lit(null).cast("double").as("nearest_dist_m"))
+      case Some(best) => // k = 1 pool: already exactly one row per id
+        val out = materialize(spark, best.select(col("id"),
+          col("tid").as("nearest_tid"), col("d").as("nearest_dist_m")))
+        best.unpersist(false)
+        out
+    }
+
+  /** Eager plan-truncated materialization (NOT localCheckpoint: its blocks
+    * cannot be freed without killing the lineage, and its LogicalRDD keeps
+    * constraints that break later unions on Spark 4.1). createDataFrame
+    * truncates the PLAN (flat analysis per round) while the RDD lineage
+    * stays recomputable — so freed intermediates are a cache decision, not
+    * a correctness one. */
+  private def materialize(spark: SparkSession, df: DataFrame): DataFrame = {
+    val out = spark.createDataFrame(df.rdd, df.schema).cache()
+    out.count()
+    out
+  }
+
+  /** The ring-batch expansion loop shared by [[knn]]/[[nearest]]: returns
+    * the materialized CACHED pool (id, lat, lon, tid, d) with ≤ k rows per
+    * point — the caller owns (and must unpersist) it — or None when no
+    * point found any target within maxRing. */
+  private def poolLoop(spark: SparkSession, points: DataFrame, targets: DataFrame,
+                       level: Int, k: Int, maxRing: Int): Option[DataFrame] = {
+    require(k >= 1, s"k must be >= 1, got $k")
     val ringBatch = udf { (lat: Double, lon: Double, lo: Int, hi: Int) =>
       val center = CellIndex.cellOf(lat, lon, level)
       (lo until hi).flatMap(r => CellIndex.ring(center, r)).distinct.toArray
@@ -48,21 +107,10 @@ object DistributedKnn {
         .apply(col("tlat"), col("tlon")))
       .cache()
 
-    // eager plan-truncated materialization (NOT localCheckpoint: its blocks
-    // cannot be freed without killing the lineage, and its LogicalRDD keeps
-    // constraints that break later unions on Spark 4.1). createDataFrame
-    // truncates the PLAN (flat analysis per round) while the RDD lineage
-    // stays recomputable — so freed intermediates are a cache decision, not
-    // a correctness one.
-    def materialize(df: DataFrame): DataFrame = {
-      val out = spark.createDataFrame(df.rdd, df.schema).cache()
-      out.count()
-      out
-    }
-
     val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
-    var unresolved = materialize(points.select("id", "lat", "lon"))
-    var best: DataFrame = null // (id, lat, lon, tid, d, hit_ring)
+    val wId = Window.partitionBy(col("id"))
+    var unresolved = materialize(spark, points.select("id", "lat", "lon"))
+    var best: DataFrame = null // (id, lat, lon, tid, d) — ≤ k rows per id
     var lo = 0
     while (lo <= maxRing && !unresolved.isEmpty) {
       val hi = math.min(if (lo < 2) lo + 1 else lo * 2, maxRing + 1) // [lo, hi)
@@ -71,26 +119,33 @@ object DistributedKnn {
           explode(ringBatch(col("lat"), col("lon"), lit(lo), lit(hi))))
         .join(targetsByCell, "cell")
         .withColumn("d", dist(col("lat"), col("lon"), col("tlat"), col("tlon")))
-        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"), lit(lo).as("hit_ring"))
+        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
       val pool = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
       val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
-      val roundBest = materialize(pool
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1).drop("rn"))
+      // per-point running top-k; kth = the worst retained distance and
+      // cnt = retained pool size drive the finalization rule below
+      val roundBest = materialize(spark, pool
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") <= k).drop("rn")
+        .withColumn("cnt", count(lit(1)).over(wId))
+        .withColumn("kth", max(col("d")).over(wId)))
       // rings 0..hi-1 are scanned, so the first unscanned ring is hi and
       // any target there is ≥ (hi-1) × minExtent away (the point may sit on
-      // its own cell's edge); finalize when the best distance is within
-      // that bound; after the last batch finalize everything with a
-      // candidate
+      // its own cell's edge); finalize once the pool is full (cnt = k) AND
+      // its worst member beats that bound; after the last batch finalize
+      // everything with a candidate
       val finalized =
         if (hi > maxRing) roundBest
-        else roundBest.filter(col("d") <= lit(hi - 1) * minExtent(col("lat")))
+        else roundBest.filter(col("cnt") === k &&
+          col("kth") <= lit(hi - 1) * minExtent(col("lat")))
       // `best` is materialized per round too: it accumulates a union per
       // round, and sparse worlds (many empty rings) would otherwise blow up
       // analysis time
-      val newBest = materialize(if (best == null) roundBest
-        else best.join(unresolved.select("id"), Seq("id"), "left_anti").unionByName(roundBest))
-      val newUnresolved = materialize(
+      val roundKept = roundBest.drop("cnt", "kth")
+      val newBest = materialize(spark, if (best == null) roundKept
+        else best.join(unresolved.select("id"), Seq("id"), "left_anti")
+          .unionByName(roundKept))
+      val newUnresolved = materialize(spark,
         unresolved.join(finalized.select("id"), Seq("id"), "left_anti"))
       // the previous round's state and this round's scratch are dead now —
       // free them (round-2 leak: these accumulated for the session lifetime)
@@ -102,20 +157,7 @@ object DistributedKnn {
       lo = hi
     }
     targetsByCell.unpersist(false)
-    if (best == null) {
-      unresolved.unpersist(false)
-      points.limit(0).select(col("id"),
-        lit(null).cast("long").as("nearest_tid"),
-        lit(null).cast("double").as("nearest_dist_m"))
-    } else {
-      // the returned frame is the ONLY cache this call leaves behind;
-      // callers may unpersist it once consumed (DistributedKnnSpec asserts
-      // the persistent-RDD count returns to baseline after that)
-      val out = materialize(best.select(col("id"), col("tid").as("nearest_tid"),
-        col("d").as("nearest_dist_m")))
-      best.unpersist(false)
-      unresolved.unpersist(false)
-      out
-    }
+    unresolved.unpersist(false)
+    Option(best)
   }
 }

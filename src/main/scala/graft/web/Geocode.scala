@@ -65,23 +65,68 @@ object Geocode {
       .withColumn("lon", substring_index(col("geo_m"), ",", -1).cast("double"))
       .drop("geo_m")
 
+  /** Inverted-index gazetteer match — deployment's de-facto hot path (in
+    * real Common Crawl most pages carry NO `geo:` marker, so the
+    * reference-scale analogue of name-based area lookup,
+    * query-raw.overpassql:6, runs on nearly every page).
+    *
+    * Semantics: a gazetteer `place_name` matches a page iff its
+    * space-joined token sequence occurs in the page's whitespace-token
+    * stream (token-boundary match — "Dover" does NOT match "Dovercourt";
+    * equivalently `' '+text+' '` contains `' '+place_name+' '`).
+    *
+    * Shape at 100 TB: the page side tokenizes ONCE
+    * (explode(array_distinct(split))) and equi-joins a BROADCAST
+    * first-token index of the gazetteer — a codegen'd hash join whose
+    * candidate count is Σ df(firstToken(name)) over names, the same
+    * sub-quadratic law as [[graft.text.NearDup]]; multi-word names verify
+    * on candidates only. The round-3 shape — a broadcast nested-loop
+    * `text.contains(place_name)` join — evaluated O(pages × names)
+    * substring scans and is gone.
+    *
+    * Returns one row per page (all page columns) + the canonically-first
+    * matching entry's (place_name, g_lat, g_lon) — min by place name, the
+    * deterministic tie-break — with nulls when `keepUnmatched` and no name
+    * matches; unmatched pages drop when !keepUnmatched. */
+  def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
+                     keepUnmatched: Boolean = true): DataFrame = {
+    val pageCols = pages.columns.toSeq
+    val gz = gazetteer
+      .select(col("place_name"), col("g_lat"), col("g_lon"),
+        split(col("place_name"), " ").getItem(0).as("tok0"),
+        (size(split(col("place_name"), " ")) > 1).as("multi"))
+    val cand = pages
+      .withColumn("tok0", explode(array_distinct(split(col("text"), " "))))
+      .join(broadcast(gz), "tok0")
+      // single-token names are already proven by the token equi-join;
+      // multi-word names verify the full sequence on candidates only
+      .filter(!col("multi") ||
+        concat(lit(" "), col("text"), lit(" "))
+          .contains(concat(lit(" "), col("place_name"), lit(" "))))
+    val matched = cand
+      .groupBy(pageCols.map(col): _*)
+      .agg(min(struct(col("place_name"), col("g_lat"), col("g_lon"))).as("g"))
+      .select(pageCols.map(col) ++ Seq(col("g.place_name").as("place_name"),
+        col("g.g_lat").as("g_lat"), col("g.g_lon").as("g_lon")): _*)
+    if (!keepUnmatched) matched
+    else matched.unionByName(
+      pages.join(matched.select(pageCols.map(col): _*), pageCols, "left_anti")
+        .withColumn("place_name", lit(null).cast("string"))
+        .withColumn("g_lat", lit(null).cast("double"))
+        .withColumn("g_lon", lit(null).cast("double")))
+  }
+
   /** Gazetteer fallback: pages with no coordinate marker are matched by
-    * place-name mention against a broadcast gazetteer (name → centroid). */
+    * place-name mention (token-boundary semantics, [[gazetteerMatch]])
+    * against a broadcast gazetteer (name → centroid). */
   def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame): DataFrame = {
     val parsed = geoparse(pages)
     val withCoords = parsed.filter(col("lat").isNotNull)
     val without = parsed.filter(col("lat").isNull).drop("lat", "lon")
-    // deterministic choice among multiple mentioned places: min by place
-    // name (first() after a shuffle would be run-dependent)
-    val matched = without
-      .join(broadcast(gazetteer.select(col("place_name"), col("g_lat"), col("g_lon"))),
-        col("text").contains(col("place_name")), "left")
-      .groupBy(without.columns.map(col): _*)
-      .agg(min(when(col("place_name").isNotNull,
-        struct(col("place_name"), col("g_lat"), col("g_lon")))).as("g"))
-      .withColumn("lat", col("g.g_lat"))
-      .withColumn("lon", col("g.g_lon"))
-      .drop("g")
+    val matched = gazetteerMatch(without, gazetteer, keepUnmatched = true)
+      .withColumn("lat", col("g_lat"))
+      .withColumn("lon", col("g_lon"))
+      .drop("place_name", "g_lat", "g_lon")
     withCoords.unionByName(matched)
   }
 

@@ -35,6 +35,44 @@ class DistributedKnnSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed top-k matches the broadcast index rank-for-rank (k=3)") {
+    val cfg = SynthWorld.Config(seed = 7L, gridP = 2, gridC = 2,
+      streetsPerCity = 4, buildingsPerStreet = 5, pages = 0L)
+    val targets = SynthWorld.buildings(cfg).map(b => (b.id, b.lat, b.lon))
+    val rng = new scala.util.Random(43)
+    val near = targets.take(40).zipWithIndex.map { case ((_, la, lo), i) =>
+      (i.toLong, la + rng.nextDouble() * 0.02 - 0.01, lo + rng.nextDouble() * 0.02 - 0.01)
+    }
+    val far = Seq((1000L, 47.9, 7.9), (1001L, 40.1, 0.1))
+    val points = (near ++ far).toDF("id", "lat", "lon")
+    val targetsDf = targets.toDF("tid", "tlat", "tlon")
+
+    val level = 12
+    val got = DistributedKnn.knn(spark, points, targetsDf, level, k = 3, maxRing = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    val idx = PointCellIndex.build(targets, level)
+    for ((id, la, lo) <- near ++ far) {
+      val want = idx.knn(la, lo, k = 3, maxRing = 64)
+      assert(want.size == 3)
+      for ((w, r) <- want.zipWithIndex) {
+        val g = got((id, r + 1))
+        assert(g._1 == w._1, s"point $id rank ${r + 1}: got $g, want $w")
+        assert(math.abs(g._2 - w._2) < 1e-9)
+      }
+    }
+    assert(got.size == (near.size + far.size) * 3)
+  }
+
+  test("top-k with fewer targets than k returns what exists, correctly ranked") {
+    val points = Seq((1L, 44.0, 4.0)).toDF("id", "lat", "lon")
+    val targets = Seq((9L, 44.01, 4.0), (5L, 44.02, 4.0)).toDF("tid", "tlat", "tlon")
+    val got = DistributedKnn.knn(spark, points, targets, level = 12, k = 5, maxRing = 64)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.sortBy(_._1).toSeq == Seq((1, 9L), (2, 5L)))
+  }
+
   test("sparse world: >=16 empty rings before the hit completes without plan blowup") {
     // one target ~1 degree away at level 12 (0.0439-degree cell rows) — the
     // loop walks ~23 empty rings before the first hit; with per-round

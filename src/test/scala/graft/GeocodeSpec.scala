@@ -75,6 +75,26 @@ class GeocodeSpec extends AnyFunSuite {
     assert(plan.contains("RLIKE"), "marker RLIKE filter missing from the plan")
   }
 
+  test("gazetteer match is token-boundary and plans no nested-loop join") {
+    val gaz = Seq(("tab", 1.0, 1.0), ("table scan", 2.0, 2.0), ("scan", 3.0, 3.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq(
+      ("u1", "a table scan here"),  // 'scan' + 'table scan' hit; min name = 'scan'
+      ("u2", "tab stop"),           // 'tab' hits as a token
+      ("u3", "tables scanned"))     // substring-only: must NOT match anything
+      .toDF("url", "text")
+    val out = Geocode.gazetteerMatch(pages, gaz)
+    val got = out.collect().map(r => r.getAs[String]("url") ->
+      Option(r.getAs[String]("place_name"))).toMap
+    assert(got == Map("u1" -> Some("scan"), "u2" -> Some("tab"), "u3" -> None))
+    // the round-3 contains-NLJ shape is gone: the candidate join must be a
+    // broadcast HASH join on the first token, never a nested loop
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join leaked into the gazetteer plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), "expected a broadcast hash join on tok0")
+  }
+
   test("gazetteer fallback geocodes marker-less pages by place-name mention") {
     val gaz = Seq(("City-100-0-0", 41.0, 1.0), ("City-100-0-1", 43.0, 1.0))
       .toDF("place_name", "g_lat", "g_lon")
