@@ -138,12 +138,20 @@ object Bench {
         val warcDir = s"${sys.props("java.io.tmpdir")}/graft-warc-bench-$cfgKey"
         if (!new java.io.File(s"$warcDir/_DONE").exists()) {
           new java.io.File(warcDir).mkdirs()
-          val pages = SynthWorld.pages(spark, iCfg).collect()
-          pages.grouped(pages.length / 32 + 1).zipWithIndex.foreach { case (g, i) =>
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(warcDir, f"crawl-$i%02d.warc"),
-              graft.sources.WarcSource.writeWarc(g.map(p => (p.url, p.warc_ts, p.html)).toSeq))
-          }
+          // container files are written FROM EXECUTORS (one shard per
+          // partition) — the round-3 shape collected all pages incl. full
+          // HTML bodies to the driver, a memory spike linear in page count
+          SynthWorld.pages(spark, iCfg).repartition(32)
+            .foreachPartition { (it: Iterator[SynthWorld.Page]) =>
+              val recs = it.map(p => (p.url, p.warc_ts, p.html)).toSeq
+              if (recs.nonEmpty) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                java.nio.file.Files.write(
+                  java.nio.file.Paths.get(warcDir, f"crawl-$pid%02d.warc"),
+                  graft.sources.WarcSource.writeWarc(recs))
+              }
+              ()
+            }
           java.nio.file.Files.writeString(java.nio.file.Paths.get(warcDir, "_DONE"), "ok")
         }
         val outDir = java.nio.file.Files.createTempDirectory("graft-ingest-bench").toString

@@ -150,12 +150,32 @@ object Reactions {
     * here the canonical-order LIMIT is pushed into the query, so a large
     * state cannot flood the driver (`maxOccurrences` occurrences collected,
     * ids only). Successors are built lazily (LazyList) — a caller that
-    * consumes only the first few never constructs the rest. */
+    * consumes only the first few never constructs the rest. When the limit
+    * binds, [[stepTruncated]] reports it (mirroring
+    * TransitionGraph.truncated); this overload logs loudly instead of
+    * silently shortening the list. */
   def step(s: BigraphState, matches: DataFrame,
-           maxOccurrences: Int = 1024): Seq[BigraphState] =
-    LazyList.from(
-        matches.orderBy(col("agent"), col("target")).limit(maxOccurrences).collect())
-      .map(r => reparent(s, r.getLong(0), r.getLong(1)))
+           maxOccurrences: Int = 1024): Seq[BigraphState] = {
+    val (succs, truncated) = stepTruncated(s, matches, maxOccurrences)
+    if (truncated)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"step: occurrence enumeration truncated at maxOccurrences=$maxOccurrences " +
+          "(use stepTruncated for the indicator, or raise the bound)")
+    succs
+  }
+
+  /** [[step]] with an explicit truncation indicator: (successors, true when
+    * more than `maxOccurrences` occurrences existed — the reference's MAX
+    * posture, builder.mli:139). Probes limit+1 rows so the signal costs no
+    * extra job. */
+  def stepTruncated(s: BigraphState, matches: DataFrame,
+                    maxOccurrences: Int = 1024): (Seq[BigraphState], Boolean) = {
+    val rows =
+      matches.orderBy(col("agent"), col("target")).limit(maxOccurrences + 1).collect()
+    (LazyList.from(rows.take(maxOccurrences))
+      .map(r => reparent(s, r.getLong(0), r.getLong(1))),
+      rows.length > maxOccurrences)
+  }
 
   /** BRS `random_step` (builder.mli:129-133): apply one occurrence chosen
     * uniformly by a SEEDED pick over the canonical order (determinism rule
@@ -170,15 +190,54 @@ object Reactions {
     }
   }
 
-  /** Canonical identity of a state: sorted (id, ctrl, name, parent) rows +
-    * sorted contact pairs. Node ids are stable across reactions (rewrites
-    * only change parent pointers / add links), so two states are isomorphic
-    * for BRS purposes iff their canons are equal — no subgraph-isomorphism
-    * solver needed (SURVEY.md §2.9). Collects to the driver: exploration
-    * states are bounded by construction (the reference holds its whole
-    * transition graph in memory too). */
+  /** Distributed canonical identity of a state: an ORDER-INDEPENDENT
+    * digest — (sum, bit_xor, count) of per-row xxhash64 over the places
+    * relation, the same triple over the contacts relation — computed on
+    * EXECUTORS, so exactly one scalar row reaches the driver per candidate
+    * state. Node ids are stable across reactions (rewrites only change
+    * parent pointers / add links), so two states are isomorphic for BRS
+    * purposes iff their row multisets are equal (SURVEY.md §2.9); the
+    * digest is a hash of that multiset. The round-3 shape collected every
+    * `places` row of every candidate (at Berlin scale, GBs per bfs
+    * expansion); now full rows are collected only for states seen for the
+    * FIRST time ([[canon]] — instrumented by [[fullStateCollects]]).
+    *
+    * The sum rides a DECIMAL(38,0) (a Long sum of xxhash64 values
+    * overflows, which ANSI mode makes a job-killing error). Collision
+    * odds: two independent 64-bit mixes + the exact row count must all
+    * agree — ~2⁻¹²⁸ per comparison, vanishing against maxStates ≤ 10⁶. */
+  private case class StateDigest(pSum: BigInt, pXor: Long, pCnt: Long,
+                                 cSum: BigInt, cXor: Long, cCnt: Long)
+
+  private def stateDigest(s: BigraphState): StateDigest = {
+    val r = s.places.agg(
+        sum(xxhash64(col("id"), col("ctrl"), col("name"), col("parent"))
+          .cast("decimal(38,0)")).as("ps"),
+        expr("bit_xor(xxhash64(id, ctrl, name, parent))").as("px"),
+        count(lit(1)).as("pc"))
+      .crossJoin(s.contacts.agg(
+        sum(xxhash64(col("agent_a"), col("agent_b")).cast("decimal(38,0)")).as("cs"),
+        expr("bit_xor(xxhash64(agent_a, agent_b))").as("cx"),
+        count(lit(1)).as("cc")))
+      .collect()(0)
+    def dec(i: Int): BigInt = // empty relation sums to null → 0
+      if (r.isNullAt(i)) BigInt(0) else BigInt(r.getDecimal(i).toBigInteger)
+    def lng(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    StateDigest(dec(0), lng(1), r.getLong(2), dec(3), lng(4), r.getLong(5))
+  }
+
+  /** Count of full-state row collects ([[canon]] calls) — bfs moves
+    * O(distinct states) of these, NOT O(generated successors); asserted by
+    * BrsSpec's driver-traffic test. */
+  private[graft] val fullStateCollects = new java.util.concurrent.atomic.AtomicLong
+
+  /** Full canonical rows of a state: sorted (id, ctrl, name, parent) +
+    * sorted contact pairs, collected to the driver — called only for
+    * digest-fresh states (exploration keeps whole kept states in driver
+    * memory, as the reference does with its transition graph). */
   private def canon(s: BigraphState, dropCache: Boolean)
       : (Vector[(Long, String, String, Long)], Vector[(Long, Long)]) = {
+    fullStateCollects.incrementAndGet()
     val p = s.places.select(col("id"), col("ctrl"), col("name"), col("parent")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       .sortBy(_._1).toVector
@@ -264,9 +323,10 @@ object Reactions {
                      maxStates: Int = 256,
                      maxOccurrencesPerRule: Int = 64): TransitionGraph = {
     val sp = s0.spark
+    val d0 = stateDigest(s0)
     val k0 = canon(s0, dropCache = false)
     val states = scala.collection.mutable.ArrayBuffer(ofCanon(sp, k0).copy(junctionEdges = s0.junctionEdges))
-    val seen = scala.collection.mutable.HashMap(k0 -> 0)
+    val seen = scala.collection.mutable.HashMap(d0 -> 0)
     val edges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
     var truncated = false
     var frontier = List(0)
@@ -281,14 +341,21 @@ object Reactions {
           }
         }.find(_.nonEmpty).getOrElse(Nil)
         for ((name, succ) <- expansions) {
-          val k = canon(succ, dropCache = true)
-          seen.get(k) match {
-            case Some(ti) => edges += ((si, name, ti))
-            case None if states.length >= maxStates => truncated = true
+          // identity check moves ONE scalar row; full rows are collected
+          // only below, on first sight of the digest
+          val dg = stateDigest(succ)
+          seen.get(dg) match {
+            case Some(ti) =>
+              succ.places.unpersist(false) // reparent's cache, now dead
+              edges += ((si, name, ti))
+            case None if states.length >= maxStates =>
+              succ.places.unpersist(false)
+              truncated = true
             case None =>
               val ti = states.length
-              states += ofCanon(sp, k).copy(junctionEdges = s0.junctionEdges)
-              seen(k) = ti
+              states += ofCanon(sp, canon(succ, dropCache = true))
+                .copy(junctionEdges = s0.junctionEdges)
+              seen(dg) = ti
               edges += ((si, name, ti))
               next += ti
           }

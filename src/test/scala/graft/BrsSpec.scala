@@ -49,6 +49,34 @@ class BrsSpec extends AnyFunSuite {
     assert(tg2.edges == tg.edges && tg2.states.length == tg.states.length)
   }
 
+  test("bfs collects full state rows once per DISTINCT state, not per successor") {
+    // 4 distinct states but 8 generated successors: duplicate detection
+    // must run on the executor-side digest (one scalar row), with full-row
+    // collects only on first sight — at Berlin scale (277k places) the
+    // round-3 shape moved O(successors × places) rows through the driver
+    val before = Reactions.fullStateCollects.get()
+    val tg = Reactions.bfs(world(), rules)
+    val delta = Reactions.fullStateCollects.get() - before
+    assert(tg.states.length == 4)
+    assert(tg.edges.size == 8) // 8 successors generated, 4 of them fresh
+    assert(delta == tg.states.length.toLong,
+      s"expected ${tg.states.length} full-state collects, got $delta")
+  }
+
+  test("stepTruncated reports when the occurrence bound binds") {
+    val s = world()
+    val leaveB = Reactions.leaveMatches(s, "Building") // exactly 1 occurrence
+    assert(Reactions.stepTruncated(s, leaveB, maxOccurrences = 8)._2 == false)
+    // move the agent to the boundary → both streets are enterable siblings
+    val atBoundary = Reactions.leave(s, "Building")
+      .flatMap(Reactions.leave(_, "Street")).get
+    val m = Reactions.enterMatches(atBoundary, "Street")
+    val (succs1, trunc1) = Reactions.stepTruncated(atBoundary, m, maxOccurrences = 1)
+    assert(succs1.size == 1 && trunc1, "2 occurrences past a bound of 1 must flag truncation")
+    val (succs2, trunc2) = Reactions.stepTruncated(atBoundary, m, maxOccurrences = 2)
+    assert(succs2.size == 2 && !trunc2)
+  }
+
   test("bfs respects maxStates and reports truncation (the reference's MAX)") {
     val tg = Reactions.bfs(world(), rules, maxStates = 2)
     assert(tg.truncated)
