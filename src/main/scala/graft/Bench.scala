@@ -186,11 +186,23 @@ object Bench {
       s""""$k":{"t_base":$a,"t_10x":$b,"ratio":${b / a}}"""
     }.mkString("{", ",", "}")
 
+    // IVF ANN scale contract: recall@3 + candidate-pair law at base and 10×
+    // (its pair count grows as n^1.5 by design, so it does NOT belong under
+    // the ≤10 time-ratio block above)
+    val ivf =
+      try StressBench.runIvf(spark)
+      catch { case e: Throwable =>
+        status += "stress_ivf" -> ("err:" + e.getClass.getSimpleName)
+        System.err.println(s"[bench] ivf stress FAILED: ${e.getMessage}")
+        scala.collection.immutable.ListMap.empty[String, Double]
+      }
+    val ivfJson = ivf.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val stJson = status.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val nErr = status.values.count(_ != "ok")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$stJson,"errors":$nErr,"stress":$stressJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"status":$stJson,"errors":$nErr,"stress":$stressJson,"stress_ivf":$ivfJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,64 @@ object StressBench {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Cluster-structured 64-dim embeddings — the corpus shape real encoder
+    * output has (near neighbors share latent structure; a pure-noise corpus
+    * would measure the scan fraction, not the index). 64 latent clusters;
+    * v[d] = center(cluster, d) + 0.6·noise(id, d), all xxhash64-derived
+    * (deterministic, no RNG state). Same-cluster cosine ≈ 0.7,
+    * cross-cluster ≈ 0, so recall@3 against brute force is a meaningful
+    * index-quality number at every n. */
+  def writeEmbeddings(spark: SparkSession, n: Long, dir: String): Unit = {
+    val dim = 64
+    val cl = pmod(xxhash64(col("id")), lit(64L))
+    val vec = transform(sequence(lit(0), lit(dim - 1)), d =>
+      ((pmod(xxhash64(cl * 64 + d), lit(2000L)) - 1000L).cast("double") / 1000.0
+        + (pmod(xxhash64(col("id") * 131 + d), lit(2000L)) - 1000L).cast("double")
+          / 1000.0 * 0.6).cast("float"))
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"),
+      cl.cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** IVF ANN at base and 10× corpus size — the scale contract the ≤10
+    * time-ratio bar cannot express: candidate pairs follow nprobe·n^1.5
+    * (so the 10× ratio is ~31.6 BY DESIGN, sub-quadratic but not linear),
+    * and what must NOT degrade is recall. Reports, per size: ivfTopK wall
+    * seconds, recall@3 against the brute-force oracle (bruteTopK — proven
+    * equal to distributed exactTopK by NearDupAnnSpec), candidate-pair
+    * count, and pairs/(nprobe·n^1.5) (the law fraction, must stay O(1)). */
+  def runIvf(spark: SparkSession, base: Long = 5000L)
+      : scala.collection.immutable.ListMap[String, Double] = {
+    val tmp = sys.props("java.io.tmpdir")
+    var out = scala.collection.immutable.ListMap.empty[String, Double]
+    for ((label, n) <- Seq(("base", base), ("10x", base * 10))) {
+      val dir = s"$tmp/graft-stress-emb-$n"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+        writeEmbeddings(spark, n, dir)
+      val t0 = System.nanoTime()
+      val ivf = graft.sim.Ann.ivfTopK(spark, dir, k = 3)
+        .select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tIvf = (System.nanoTime() - t0) / 1e9
+      val brute = graft.sim.Ann.bruteTopK(spark, dir, k = 3)
+        .select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      val pairs = graft.sim.Ann.ivfCandidatePairs(spark, dir)
+      val (_, nprobe) = graft.sim.Ann.ivfParams(n)
+      val lawFrac = pairs / (nprobe * n * math.sqrt(n.toDouble))
+      out += s"ivf_${label}_n" -> n.toDouble
+      out += s"ivf_${label}_sec" -> tIvf
+      out += s"ivf_${label}_recall_at_3" -> recall
+      out += s"ivf_${label}_cand_pairs" -> pairs.toDouble
+      out += s"ivf_${label}_law_frac" -> lawFrac
+      System.err.println(f"[stress] ivf $label n=$n: $tIvf%.2f s, recall@3=$recall%.3f, " +
+        f"pairs=$pairs (law frac $lawFrac%.3f)")
+      spark.catalog.clearCache()
+    }
+    out
+  }
+
   /** Points over the synthetic rect world [40,48)×[0,8), hash-uniform. */
   def points(spark: SparkSession, n: Long): DataFrame =
     spark.range(n).select(

@@ -120,6 +120,28 @@ class NearDupAnnSpec extends AnyFunSuite {
       s"pairs grew ${ratio}x from n=$n1 to n=$n2 — scan fraction is not decaying")
   }
 
+  test("IVF recall@3 >= 0.9 holds at base AND 10x corpus size (auto params)") {
+    // the scale contract ivfParams promises: as n grows 10×, c=√n grows and
+    // the scan fraction nprobe/c DECAYS — recall must still hold on a
+    // cluster-structured corpus (the StressBench generator; a pure-noise
+    // corpus would measure the scan fraction, not the index)
+    for (n <- Seq(1500L, 15000L)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-ivfrecall-$n").toString
+      StressBench.writeEmbeddings(spark, n, dir)
+      val ivf = Ann.ivfTopK(spark, dir, k = 3).select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Ann.bruteTopK(spark, dir, k = 3).select("vec_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      assert(recall >= 0.9, f"IVF recall@3 at n=$n too low: $recall%.3f")
+      // and the candidate count still obeys the sub-quadratic law
+      val pairs = Ann.ivfCandidatePairs(spark, dir)
+      val (_, nprobe) = Ann.ivfParams(n)
+      assert(pairs <= 2.0 * nprobe * n * math.sqrt(n.toDouble),
+        s"pairs($n)=$pairs exceeds 2x the nprobe*n^1.5 law")
+    }
+  }
+
   test("cosine near-dup: IVF path is a verified subset of exact and finds planted twins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cosdup").toString
     val base = (0L until 300L).map { i =>
