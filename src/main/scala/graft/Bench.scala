@@ -86,6 +86,33 @@ object Bench {
     System.err.println(f"[bench] hierarchy build: $nNodes nodes in $tHier%.2f s = ${nNodes / tHier}%.0f nodes/s min-of-2 (ref single-thread ≈3.1k/s)")
     cached.unpersist()
 
+    // planet-shard shape (SURVEY §1.1 multi-region): TWO disjoint root
+    // subtrees built in ONE job — the partitioned-planet posture
+    // (equality with per-region solo builds is SynthHierarchySpec's
+    // planet-shard test; this row records that the one-job build costs
+    // one job, not one job per region)
+    locally {
+      spark.catalog.clearCache()
+      val shCfg = SynthWorld.Config(seed = 42L, gridP = 4, gridC = 4,
+        streetsPerCity = 10, buildingsPerStreet = 8)
+      val (b1, e1) = SynthWorld.boundaryExtracts(spark, shCfg)
+      val (b2, e2) = SynthWorld.shiftWorld(spark, b1, e1,
+        off = 1000000000000L, suffix = " B")
+      val metas2 = graft.hier.Hierarchy.metadata(b1 ++ b2)
+      val cached2 = e1.union(e2)
+        .repartition(spark.sparkContext.defaultParallelism * 2).cache()
+      cached2.count()
+      var n2 = 0L
+      val t2 = time {
+        val st = graft.hier.PlacePipeline.stats(
+          graft.hier.PlacePipeline.build(spark, cached2, metas2))
+        n2 = st.nNodes
+      }
+      results += ("hierarchy_build_2shard" -> t2)
+      System.err.println(f"[bench] 2-shard hierarchy build: $n2 nodes (2 roots, ONE job) in $t2%.2f s = ${n2 / t2}%.0f nodes/s")
+      cached2.unpersist()
+    }
+
 
     spark.catalog.clearCache() // drop the hierarchy working set
     // warm the JIT/codegen path once at small scale, then time 2M pages

@@ -198,6 +198,40 @@ object SynthWorld {
     (bounds, spark.createDataset(adminElems ++ cityElems))
   }
 
+  /** A disjoint translated copy of a world's extracts — the planet-shard
+    * fixture (SURVEY.md §1.1's multi-region partition column): same
+    * structure, every element/boundary id offset and every boundary name
+    * suffixed, so two (or more) shards build in ONE
+    * [[graft.hier.PlacePipeline.build]] job as independent root subtrees of
+    * the same forest. `off` must clear the largest base id (city-derived
+    * way ids reach ~1.1e11 at the default grids). */
+  def shiftWorld(spark: SparkSession,
+                 bounds: Seq[graft.hier.Boundary],
+                 elems: org.apache.spark.sql.Dataset[graft.hier.BoundaryElem],
+                 off: Long, suffix: String)
+      : (Seq[graft.hier.Boundary], org.apache.spark.sql.Dataset[graft.hier.BoundaryElem]) = {
+    import spark.implicits._
+    import graft.hier.{Boundary, Hierarchy}
+    val keyMap = bounds.map(b =>
+      b.bkey -> Hierarchy.bkey(b.level, b.relId + off, b.name + suffix)).toMap
+    val b2 = bounds.map(b => Boundary(keyMap(b.bkey), b.level, b.relId + off,
+      b.name + suffix, keyMap.getOrElse(b.parentKey, b.parentKey)))
+    val keyMapB = spark.sparkContext.broadcast(keyMap)
+    val e2 = elems.map { el =>
+      el.copy(
+        bkey = keyMapB.value(el.bkey),
+        id = el.id + off,
+        nds = el.nds.map(_ + off),
+        // admin relation rows name the boundary — keep them in sync with
+        // the shifted Boundary names; place names need no remap (elements
+        // key on (bkey, kind+id), both already shifted)
+        tags = if (el.tags.contains("admin_level"))
+          el.tags.updated("name", el.tags.getOrElse("name", "") + suffix)
+        else el.tags)
+    }
+    (b2, e2)
+  }
+
   /** Expected admin chain per url — the containment oracle for tests. */
   def expectedChains(spark: SparkSession, cfg: Config): DataFrame = {
     import spark.implicits._
