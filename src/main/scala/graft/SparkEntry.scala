@@ -96,10 +96,14 @@ object SparkEntry {
                                  ("tab", 1.0, 1.0), ("spark nowhere", 2.0, 2.0),
                                  ("zzz", 3.0, 3.0))
                                  .toDF("place_name", "g_lat", "g_lon")
+                               // keyCols = doc_id: the tie-break shuffle
+                               // carries (doc_id, matched struct) only —
+                               // page text never rides a shuffle
                                graft.web.Geocode.gazetteerMatch(
                                    Relational.t(s, d, "documents")
                                      .select(col("doc_id"), col("text")),
-                                   gaz, keepUnmatched = false)
+                                   gaz, keepUnmatched = false,
+                                   keyCols = Seq("doc_id"))
                                  .select(col("doc_id"), col("place_name"),
                                    col("g_lat"), col("g_lon"))
                              }),

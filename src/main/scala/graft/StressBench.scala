@@ -171,6 +171,22 @@ object StressBench {
       graft.text.NearDup.minhashLsh(spark, docsDir(n),
         numHashes = 16, bands = 4, thresholdPct = 80, maxDocId = Long.MaxValue))
 
+    // gazetteer geoparse at a REAL gazetteer size (10k names) over the
+    // same growing corpora: inverted-index candidates = Σ df(firstToken)
+    // ≈ 50k at every n (df stays ~5 by construction), so time tracks the
+    // page scan, not pages × names — the NLJ this replaced would do
+    // 2×10⁸..2×10⁹ substring scans here
+    out += "q43_gazetteer" -> measure(spark, "q43_gazetteer", docsBase) { n =>
+      val gaz = spark.range(10000).select(
+        concat(lit("t"), col("id")).as("place_name"),
+        (col("id") % 180 - 90).cast("double").as("g_lat"),
+        (col("id") % 360 - 180).cast("double").as("g_lon"))
+      graft.web.Geocode.gazetteerMatch(
+        spark.read.parquet(s"${docsDir(n)}/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        gaz, keepUnmatched = false, keyCols = Seq("doc_id"))
+    }
+
     val cfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2,
       streetsPerCity = 10, buildingsPerStreet = 8)
     val targets = {

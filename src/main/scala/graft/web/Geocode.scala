@@ -84,13 +84,22 @@ object Geocode {
     * `text.contains(place_name)` join — evaluated O(pages × names)
     * substring scans and is gone.
     *
-    * Returns one row per page (all page columns) + the canonically-first
-    * matching entry's (place_name, g_lat, g_lon) — min by place name, the
-    * deterministic tie-break — with nulls when `keepUnmatched` and no name
-    * matches; unmatched pages drop when !keepUnmatched. */
+    * Returns one row per page + the canonically-first matching entry's
+    * (place_name, g_lat, g_lon) — min by place name, the deterministic
+    * tie-break — with nulls when `keepUnmatched` and no name matches;
+    * unmatched pages drop when !keepUnmatched.
+    *
+    * `keyCols`: when the caller names the page identity (e.g. `url` or
+    * `doc_id`), the tie-break shuffle carries ONLY keys + the matched
+    * struct, and the output is keys + (place_name, g_lat, g_lon) — the
+    * 100 TB shape (full page text never rides a shuffle; re-attach columns
+    * by key downstream if needed). Empty `keyCols` (the default) groups by
+    * every page column and returns them all — correct for key-less frames
+    * but text-wide through the one shuffle. */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
-                     keepUnmatched: Boolean = true): DataFrame = {
-    val pageCols = pages.columns.toSeq
+                     keepUnmatched: Boolean = true,
+                     keyCols: Seq[String] = Nil): DataFrame = {
+    val keys = if (keyCols.nonEmpty) keyCols else pages.columns.toSeq
     val gz = gazetteer
       .select(col("place_name"), col("g_lat"), col("g_lon"),
         split(col("place_name"), " ").getItem(0).as("tok0"),
@@ -103,17 +112,25 @@ object Geocode {
       .filter(!col("multi") ||
         concat(lit(" "), col("text"), lit(" "))
           .contains(concat(lit(" "), col("place_name"), lit(" "))))
+      // project to keys BEFORE the shuffle: candidates are keys + 3 fields
+      .select(keys.map(col) :+
+        struct(col("place_name"), col("g_lat"), col("g_lon")).as("g0"): _*)
     val matched = cand
-      .groupBy(pageCols.map(col): _*)
-      .agg(min(struct(col("place_name"), col("g_lat"), col("g_lon"))).as("g"))
-      .select(pageCols.map(col) ++ Seq(col("g.place_name").as("place_name"),
+      .groupBy(keys.map(col): _*)
+      .agg(min(col("g0")).as("g"))
+      .select(keys.map(col) ++ Seq(col("g.place_name").as("place_name"),
         col("g.g_lat").as("g_lat"), col("g.g_lon").as("g_lon")): _*)
     if (!keepUnmatched) matched
-    else matched.unionByName(
-      pages.join(matched.select(pageCols.map(col): _*), pageCols, "left_anti")
-        .withColumn("place_name", lit(null).cast("string"))
-        .withColumn("g_lat", lit(null).cast("double"))
-        .withColumn("g_lon", lit(null).cast("double")))
+    else {
+      val pageSide =
+        if (keyCols.nonEmpty) pages.select(keys.map(col): _*).distinct()
+        else pages
+      matched.unionByName(
+        pageSide.join(matched.select(keys.map(col): _*), keys, "left_anti")
+          .withColumn("place_name", lit(null).cast("string"))
+          .withColumn("g_lat", lit(null).cast("double"))
+          .withColumn("g_lon", lit(null).cast("double")))
+    }
   }
 
   /** Gazetteer fallback: pages with no coordinate marker are matched by

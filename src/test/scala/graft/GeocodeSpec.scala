@@ -95,6 +95,22 @@ class GeocodeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected a broadcast hash join on tok0")
   }
 
+  test("gazetteer match with keyCols returns the same matches as the all-column path") {
+    val gaz = Seq(("scan", 3.0, 3.0), ("table scan", 2.0, 2.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq((1L, "a table scan here"), (2L, "no hits at all"), (3L, "scan me"))
+      .toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "place_name", "g_lat", "g_lon").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[String]("place_name")))).toSet
+    val wide = Geocode.gazetteerMatch(pages, gaz)
+    val narrow = Geocode.gazetteerMatch(pages, gaz, keyCols = Seq("doc_id"))
+    assert(norm(wide) == norm(narrow))
+    assert(norm(narrow) == Set((1L, Some("scan")), (2L, None), (3L, Some("scan"))))
+    // narrow contract: keys + match fields only (text never in the output)
+    assert(narrow.columns.toSeq == Seq("doc_id", "place_name", "g_lat", "g_lon"))
+  }
+
   test("gazetteer fallback geocodes marker-less pages by place-name mention") {
     val gaz = Seq(("City-100-0-0", 41.0, 1.0), ("City-100-0-1", 43.0, 1.0))
       .toDF("place_name", "g_lat", "g_lon")
