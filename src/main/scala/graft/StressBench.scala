@@ -197,6 +197,20 @@ object StressBench {
     out += "q36_knn" -> measure(spark, "q36_knn", 15000L)(n =>
       graft.spatial.DistributedKnn.nearest(spark, points(spark, n), targets, level = 12))
 
+    out += "q44_knn_topk" -> measure(spark, "q44_knn_topk", 15000L)(n =>
+      graft.spatial.DistributedKnn.knn(spark, points(spark, n), targets, level = 12, k = 3))
+
+    // fact×fact zonal stats over the 21-rect zone table: raster cells grow
+    // with n, the cover join stays one shuffle — expect ~linear
+    out += "q45_zonal" -> measure(spark, "q45_zonal", 200000L) { n =>
+      import spark.implicits._
+      val zonesDf = graft.web.Flagship.boundaries(cfg)
+        .map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+      graft.spatial.Raster.zonalStatsDistributed(spark,
+        graft.spatial.Raster.rasterize(spark, points(spark, n), level = 10),
+        zonesDf, coverLevel = 10)
+    }
+
     out += "q38_cc" -> measure(spark, "q38_cc", 50000L)(n =>
       graft.spatial.Raster.connectedComponents(spark, clusteredCells(spark, n), gridN = 1L << 20))
 
