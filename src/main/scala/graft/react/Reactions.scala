@@ -203,9 +203,12 @@ object Reactions {
     * FIRST time ([[canon]] — instrumented by [[fullStateCollects]]).
     *
     * The sum rides a DECIMAL(38,0) (a Long sum of xxhash64 values
-    * overflows, which ANSI mode makes a job-killing error). Collision
-    * odds: two independent 64-bit mixes + the exact row count must all
-    * agree — ~2⁻¹²⁸ per comparison, vanishing against maxStates ≤ 10⁶. */
+    * overflows, which ANSI mode makes a job-killing error). The xor runs
+    * over a SECOND, independent hash (a constant extra column changes
+    * xxhash64's output completely) — sum and xor of the same hash would
+    * give only ~2⁻⁶⁴ resistance for two-row swaps; with independent
+    * hashes + the exact row count the bound is ~2⁻¹²⁸ per comparison,
+    * vanishing against maxStates ≤ 10⁶. */
   private case class StateDigest(pSum: BigInt, pXor: Long, pCnt: Long,
                                  cSum: BigInt, cXor: Long, cCnt: Long)
 
@@ -213,11 +216,11 @@ object Reactions {
     val r = s.places.agg(
         sum(xxhash64(col("id"), col("ctrl"), col("name"), col("parent"))
           .cast("decimal(38,0)")).as("ps"),
-        expr("bit_xor(xxhash64(id, ctrl, name, parent))").as("px"),
+        expr("bit_xor(xxhash64(id, ctrl, name, parent, 7919))").as("px"),
         count(lit(1)).as("pc"))
       .crossJoin(s.contacts.agg(
         sum(xxhash64(col("agent_a"), col("agent_b")).cast("decimal(38,0)")).as("cs"),
-        expr("bit_xor(xxhash64(agent_a, agent_b))").as("cx"),
+        expr("bit_xor(xxhash64(agent_a, agent_b, 7919))").as("cx"),
         count(lit(1)).as("cc")))
       .collect()(0)
     def dec(i: Int): BigInt = // empty relation sums to null → 0

@@ -120,8 +120,18 @@ object DistributedKnn {
         .join(targetsByCell, "cell")
         .withColumn("d", dist(col("lat"), col("lon"), col("tlat"), col("tlon")))
         .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
-      val pool = if (best == null) cands
+      val pool0 = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
+      // longitude wrap can place ONE target cell at two Chebyshev ring
+      // distances r and 2^level - r; ringBatch dedups within a batch, but
+      // across batches the same (id, tid) row would enter the pool twice —
+      // k=1 collapsed duplicates under rn=1, top-k would rank one target
+      // at two ranks and displace the true k-th. Possible only when the
+      // scanned disk can span the grid (2·maxRing ≥ columns), so fine
+      // levels skip the extra exchange entirely.
+      val pool =
+        if ((1L << level) <= 2L * maxRing) pool0.dropDuplicates("id", "tid")
+        else pool0
       val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
       // per-point running top-k; kth = the worst retained distance and
       // cnt = retained pool size drive the finalization rule below

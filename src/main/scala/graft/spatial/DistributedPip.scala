@@ -67,13 +67,20 @@ object DistributedPip {
           // normalized bytes so both sides of the predicate agree
           val geom = CellIndex.normalizeSeam(reader.read(wkb))
           val prep = PreparedGeometryFactory.prepare(geom)
+          // invalid rings (bowtie fences, self-touching footprints): the
+          // overlay clip could produce a DIFFERENT valid interpretation
+          // than the prepared-predicate refine on the raw bytes — ship the
+          // unclipped geometry for those zones so the distributed refine
+          // stays byte-identical to the broadcast path (checked once per
+          // zone, not per cell)
+          val clipOk = geom.isValid
           // minLevel = maxLevel = level → uniform single-level cover
           CellIndex.cover(geom, level, level).iterator.map { cell =>
             val cg = CellIndex.cellGeometry(cell)
             val full = prep.containsProperly(cg)
             val payload =
               if (full) null
-              else writer.write(clipToCell(geom, cell))
+              else writer.write(if (clipOk) clipToCell(geom, cell) else geom)
             (cell, id, full, payload)
           }
         }
@@ -102,7 +109,13 @@ object DistributedPip {
     val gf = geom.getFactory
     val window = gf.toGeometry(new org.locationtech.jts.geom.Envelope(
       lonMin - eps, lonMax + eps, latMin - eps, latMax + eps))
-    val clipped = geom.intersection(window)
+    // overlay ops throw TopologyException on invalid rings (bowtie fences,
+    // self-touching footprints — routine in real zone data); prepared-
+    // geometry PREDICATES tolerate them, so fall back to the unclipped
+    // bytes rather than failing the job (round-3 behavior for that zone)
+    val clipped =
+      try geom.intersection(window)
+      catch { case _: org.locationtech.jts.geom.TopologyException => return geom }
     val polys = org.locationtech.jts.geom.util.PolygonExtracter.getPolygons(clipped)
     if (polys.isEmpty) geom
     else if (polys.size == 1) polys.get(0).asInstanceOf[Geometry]

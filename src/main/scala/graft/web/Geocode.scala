@@ -90,46 +90,85 @@ object Geocode {
     * unmatched pages drop when !keepUnmatched.
     *
     * `keyCols`: when the caller names the page identity (e.g. `url` or
-    * `doc_id`), the tie-break shuffle carries ONLY keys + the matched
-    * struct, and the output is keys + (place_name, g_lat, g_lon) — the
-    * 100 TB shape (full page text never rides a shuffle; re-attach columns
-    * by key downstream if needed). Empty `keyCols` (the default) groups by
-    * every page column and returns them all — correct for key-less frames
-    * but text-wide through the one shuffle. */
+    * `doc_id`), nothing text-sized ever rides a shuffle: single-token
+    * names match on an exploded (keys, token) stream with the text column
+    * PRUNED; multi-token candidates (the rare class) semi-filter the pages
+    * scan by a broadcast of their keys and verify the full sequence on
+    * that tiny subset. The output is keys + (place_name, g_lat, g_lon) —
+    * the 100 TB shape; re-attach columns by key downstream if needed.
+    * Empty `keyCols` (the default) uses every page column as the identity
+    * and returns them all — correct for key-less frames, text-wide through
+    * the shuffles. Output has SET semantics per page identity: one row per
+    * distinct page, matched or (under `keepUnmatched`) null-extended. */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
                      keyCols: Seq[String] = Nil): DataFrame = {
+    val reserved = Set("place_name", "g_lat", "g_lon", "tok0", "multi", "g0", "g")
+    require(pages.columns.forall(c => !reserved.contains(c)),
+      s"page columns collide with reserved names: ${reserved.mkString(",")}")
+    require(keyCols.forall(pages.columns.contains),
+      s"keyCols ${keyCols.mkString(",")} must be page columns")
     val keys = if (keyCols.nonEmpty) keyCols else pages.columns.toSeq
     val gz = gazetteer
       .select(col("place_name"), col("g_lat"), col("g_lon"),
         split(col("place_name"), " ").getItem(0).as("tok0"),
         (size(split(col("place_name"), " ")) > 1).as("multi"))
-    val cand = pages
-      .withColumn("tok0", explode(array_distinct(split(col("text"), " "))))
-      .join(broadcast(gz), "tok0")
-      // single-token names are already proven by the token equi-join;
-      // multi-word names verify the full sequence on candidates only
-      .filter(!col("multi") ||
-        concat(lit(" "), col("text"), lit(" "))
-          .contains(concat(lit(" "), col("place_name"), lit(" "))))
-      // project to keys BEFORE the shuffle: candidates are keys + 3 fields
+    val g0 = struct(col("place_name"), col("g_lat"), col("g_lon")).as("g0")
+    // tokens stream: keys + one token per row — text PRUNED before the
+    // explode, so a 10k-token page costs 10k narrow rows, not 10k copies
+    // of its text (keyCols empty degrades gracefully: keys ⊇ text)
+    val toks = pages
       .select(keys.map(col) :+
-        struct(col("place_name"), col("g_lat"), col("g_lon")).as("g0"): _*)
-    val matched = cand
+        explode(array_distinct(split(col("text"), " "))).as("tok0"): _*)
+    // single-token names are fully proven by the token equi-join
+    val singleHits = toks.join(broadcast(gz.filter(!col("multi"))), "tok0")
+      .select(keys.map(col) :+ g0: _*)
+    // multi-token names verify ON THE TOKEN STREAM: position-ordered
+    // tokens + window leads build every m-gram present in the gazetteer
+    // (m collected driver-side from the dimension table), then ONE
+    // broadcast equi-join m-gram = place_name. String equality implies
+    // equal token counts, so no length key is needed; `concat` (not
+    // concat_ws) keeps tail positions null so short suffixes never alias
+    // shorter names. No text column is ever joined back or shuffled.
+    val multiLens = gazetteer
+      .select(size(split(col("place_name"), " ")).as("m")).filter(col("m") > 1)
+      .agg(collect_set(col("m"))).head().getSeq[Int](0).sorted
+    val multiHits =
+      if (multiLens.isEmpty)
+        singleHits.limit(0)
+      else {
+        val wPos = org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*).orderBy(col("pos"))
+        val toksPos = pages
+          .select(keys.map(col) :+
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")): _*)
+        val maxM = multiLens.max
+        val withLeads = (1 until maxM).foldLeft(toksPos)((df, i) =>
+          df.withColumn(s"lead_$i", lead(col("tok"), i).over(wPos)))
+        def ngram(m: Int) =
+          concat((1 until m).foldLeft(Seq(col("tok")))((acc, i) =>
+            acc ++ Seq(lit(" "), col(s"lead_$i"))): _*)
+        val ngrams = withLeads.select(keys.map(col) :+
+          explode(array(multiLens.map(m => ngram(m)): _*)).as("ngram"): _*)
+        ngrams.join(broadcast(gz.filter(col("multi"))),
+            col("ngram") === col("place_name"))
+          .select(keys.map(col) :+ g0: _*)
+      }
+    val matched = singleHits.unionByName(multiHits)
       .groupBy(keys.map(col): _*)
       .agg(min(col("g0")).as("g"))
       .select(keys.map(col) ++ Seq(col("g.place_name").as("place_name"),
         col("g.g_lat").as("g_lat"), col("g.g_lon").as("g_lon")): _*)
     if (!keepUnmatched) matched
     else {
-      val pageSide =
-        if (keyCols.nonEmpty) pages.select(keys.map(col): _*).distinct()
-        else pages
-      matched.unionByName(
-        pageSide.join(matched.select(keys.map(col): _*), keys, "left_anti")
-          .withColumn("place_name", lit(null).cast("string"))
-          .withColumn("g_lat", lit(null).cast("double"))
-          .withColumn("g_lon", lit(null).cast("double")))
+      // single evaluation of `matched` (a left join, not union + anti) and
+      // null-safe key equality so null-bearing key-less frames neither
+      // drop nor duplicate rows
+      val pageSide = pages.select(keys.map(col): _*).distinct()
+      val cond = keys.map(k => pageSide(k) <=> matched(k)).reduce(_ && _)
+      pageSide.join(matched, cond, "left")
+        .select(keys.map(pageSide(_)) ++
+          Seq(matched("place_name"), matched("g_lat"), matched("g_lon")): _*)
     }
   }
 

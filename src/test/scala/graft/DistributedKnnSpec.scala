@@ -65,6 +65,23 @@ class DistributedKnnSpec extends AnyFunSuite {
     assert(got.size == (near.size + far.size) * 3)
   }
 
+  test("coarse-level top-k dedups wrap-duplicate targets (antimeridian rings)") {
+    // level 5 → 32 grid columns, maxRing 64: a seam-adjacent target cell
+    // sits at ring r AND ring 32-r of the same point, in different
+    // geometric batches — without pool dedup the same neighbor would rank
+    // twice and displace the true 3rd
+    val points = Seq((1L, 0.0, 179.0)).toDF("id", "lat", "lon")
+    val targets = Seq((1L, 0.0, -179.0), (2L, 0.0, 170.0), (3L, 5.0, 179.0), (4L, 0.0, 0.0))
+    val got = DistributedKnn.knn(spark, points,
+        targets.toDF("tid", "tlat", "tlon"), level = 5, k = 3, maxRing = 64)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    val brute = targets
+      .map(t => (t._1, graft.cells.CellIndex.haversineM(0.0, 179.0, t._2, t._3)))
+      .sortBy(x => (x._2, x._1)).take(3).map(_._1)
+    assert(got.map(_._2).distinct.length == 3, s"duplicate neighbor in $got")
+    assert(got.map(_._2).toSeq == brute, s"got $got, want ranks of $brute")
+  }
+
   test("top-k with fewer targets than k returns what exists, correctly ranked") {
     val points = Seq((1L, 44.0, 4.0)).toDF("id", "lat", "lon")
     val targets = Seq((9L, 44.01, 4.0), (5L, 44.02, 4.0)).toDF("tid", "tlat", "tlon")

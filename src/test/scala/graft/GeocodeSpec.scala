@@ -111,6 +111,18 @@ class GeocodeSpec extends AnyFunSuite {
     assert(narrow.columns.toSeq == Seq("doc_id", "place_name", "g_lat", "g_lon"))
   }
 
+  test("gazetteer match handles empty gazetteer and empty pages without error") {
+    val emptyGaz = Seq.empty[(String, Double, Double)].toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq((1L, "some text here")).toDF("doc_id", "text")
+    val g1 = Geocode.gazetteerMatch(pages, emptyGaz, keyCols = Seq("doc_id"))
+    assert(g1.collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq == Seq((1L, true)))
+    assert(Geocode.gazetteerMatch(pages, emptyGaz,
+      keepUnmatched = false, keyCols = Seq("doc_id")).count() == 0)
+    val gaz = Seq(("x", 1.0, 1.0)).toDF("place_name", "g_lat", "g_lon")
+    val emptyPages = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Geocode.gazetteerMatch(emptyPages, gaz, keyCols = Seq("doc_id")).count() == 0)
+  }
+
   test("gazetteer fallback geocodes marker-less pages by place-name mention") {
     val gaz = Seq(("City-100-0-0", 41.0, 1.0), ("City-100-0-1", 43.0, 1.0))
       .toDF("place_name", "g_lat", "g_lon")

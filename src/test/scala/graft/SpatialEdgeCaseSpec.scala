@@ -186,6 +186,56 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(want.nonEmpty && want.size < pts.size) // both classes exercised
   }
 
+  test("distributed PIP respects polygon holes through the border-cell clip") {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    // donut: outer [0,8]x[40,48], hole [2,6]x[42,46] — at level 8
+    // (~1.4° cells) most cells are border cells, so the hole geometry
+    // must survive clipToCell or hole points would be wrongly contained
+    def ring(x0: Double, y0: Double, x1: Double, y1: Double) = Array(
+      new Coordinate(x0, y0), new Coordinate(x1, y0), new Coordinate(x1, y1),
+      new Coordinate(x0, y1), new Coordinate(x0, y0))
+    val donut = gf.createPolygon(gf.createLinearRing(ring(0, 40, 8, 48)),
+      Array(gf.createLinearRing(ring(2, 42, 6, 46))))
+    val pts = Seq(
+      (0L, 41.0, 1.0),   // in the ring
+      (1L, 44.0, 4.0),   // in the hole → NOT contained
+      (2L, 47.5, 7.5),   // in the ring (opposite corner)
+      (3L, 44.0, 2.1),   // just inside the hole → NOT contained
+      (4L, 44.0, 1.9),   // just outside the hole → contained
+      (5L, 50.0, 4.0))   // outside everything
+    val got = graft.spatial.DistributedPip.containsJoin(spark,
+        pts.toDF("id", "lat", "lon"),
+        Seq((1L, w.write(donut))).toDF("boundary_id", "wkb"), level = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L, 2L, 4L), s"got $got")
+  }
+
+  test("invalid (bowtie) zone polygons neither crash nor diverge from the broadcast path") {
+    import spark.implicits._
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    // self-intersecting ring over [0,2]×[40,42] — routine bad fence data
+    val bow = gf.createPolygon(Array(
+      new Coordinate(0, 40), new Coordinate(2, 42), new Coordinate(2, 40),
+      new Coordinate(0, 42), new Coordinate(0, 40)))
+    assert(!bow.isValid)
+    val wkb = w.write(bow)
+    val pts = Seq((0L, 40.5, 1.0), (1L, 41.5, 1.0), (2L, 41.0, 0.3),
+      (3L, 41.0, 1.7), (4L, 45.0, 5.0))
+    // must not throw (round-3 contract), and must agree point-for-point
+    // with the broadcast prepared-predicate path (clip skipped on invalid)
+    val got = graft.spatial.DistributedPip.containsJoin(spark,
+        pts.toDF("id", "lat", "lon"),
+        Seq((1L, wkb)).toDF("boundary_id", "wkb"), level = 8)
+      .collect().map(_.getLong(0)).toSet
+    val idx = BoundaryCellIndex.build(Seq(SpatialBoundary(1L, 6, "Bow", wkb)), 8)
+    val want = pts.filter { case (_, la, lo) => idx.containing(la, lo).nonEmpty }
+      .map(_._1).toSet
+    assert(got == want, s"got $got want $want")
+  }
+
   test("resolve tie-breaks: deeper level wins, then min id at equal level") {
     // two IDENTICAL level-6 rects (ids 9 and 5) + one deeper level-8 rect
     val b5 = SpatialBoundary(5L, 6, "A", rectWkb(0.0, 40.0, 2.0, 42.0))
