@@ -174,16 +174,26 @@ object Geocode {
 
   /** Gazetteer fallback: pages with no coordinate marker are matched by
     * place-name mention (token-boundary semantics, [[gazetteerMatch]])
-    * against a broadcast gazetteer (name → centroid). */
-  def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame): DataFrame = {
+    * against a broadcast gazetteer (name → centroid). `keyCols` names the
+    * page identity (default `url`) so the match runs entirely on
+    * text-pruned token streams; full rows re-attach by ONE key join where
+    * text rides as a value — never as a shuffle key (the all-columns
+    * grouping would hash megabyte text strings as part of the key).
+    * Row multiplicity is preserved: duplicate pages by key each keep
+    * their row, matching the marker branch. */
+  def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame,
+                            keyCols: Seq[String] = Seq("url")): DataFrame = {
     val parsed = geoparse(pages)
     val withCoords = parsed.filter(col("lat").isNotNull)
     val without = parsed.filter(col("lat").isNull).drop("lat", "lon")
-    val matched = gazetteerMatch(without, gazetteer, keepUnmatched = true)
-      .withColumn("lat", col("g_lat"))
-      .withColumn("lon", col("g_lon"))
-      .drop("place_name", "g_lat", "g_lon")
-    withCoords.unionByName(matched)
+    val matched = gazetteerMatch(without, gazetteer,
+        keepUnmatched = true, keyCols = keyCols)
+      .select(keyCols.map(col) ++ Seq(col("g_lat"), col("g_lon")): _*)
+    withCoords.unionByName(
+      without.join(matched, keyCols, "left")
+        .withColumn("lat", col("g_lat"))
+        .withColumn("lon", col("g_lon"))
+        .drop("g_lat", "g_lon"))
   }
 
   /** One geocode result bundle — single struct so the whole spatial join
