@@ -94,7 +94,7 @@ object SparkEntry {
                                  ("spark", 51.5, -0.12), ("table scan", 48.85, 2.35),
                                  ("merge fast", 40.71, -74.0), ("dup", 35.68, 139.69),
                                  ("tab", 1.0, 1.0), ("spark nowhere", 2.0, 2.0),
-                                 ("zzz", 3.0, 3.0))
+                                 ("zzz", 3.0, 3.0), ("order sort table", 10.0, 20.0))
                                  .toDF("place_name", "g_lat", "g_lon")
                                // keyCols = doc_id: the tie-break shuffle
                                // carries (doc_id, matched struct) only —
@@ -476,7 +476,8 @@ object SparkEntry {
       """WITH gaz(place_name, g_lat, g_lon) AS (
            VALUES ('spark', 51.5, -0.12), ('table scan', 48.85, 2.35),
                   ('merge fast', 40.71, -74.0), ('dup', 35.68, 139.69),
-                  ('tab', 1.0, 1.0), ('spark nowhere', 2.0, 2.0), ('zzz', 3.0, 3.0)
+                  ('tab', 1.0, 1.0), ('spark nowhere', 2.0, 2.0), ('zzz', 3.0, 3.0),
+                  ('order sort table', 10.0, 20.0)
          ), m AS (
            SELECT d.doc_id, g.place_name, g.g_lat, g.g_lon
            FROM documents d JOIN gaz g

@@ -99,7 +99,12 @@ object Geocode {
     * Empty `keyCols` (the default) uses every page column as the identity
     * and returns them all — correct for key-less frames, text-wide through
     * the shuffles. Output has SET semantics per page identity: one row per
-    * distinct page, matched or (under `keepUnmatched`) null-extended. */
+    * distinct page, matched or (under `keepUnmatched`) null-extended.
+    * CONTRACT: rows sharing a key must carry the same text — the n-gram
+    * window orders each key's token stream by position, so two DIFFERENT
+    * texts under one key would interleave (exact duplicates are harmless:
+    * tied positions hold equal tokens and the min-aggregate collapses
+    * them). */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
                      keyCols: Seq[String] = Nil): DataFrame = {

@@ -111,6 +111,38 @@ class GeocodeSpec extends AnyFunSuite {
     assert(narrow.columns.toSeq == Seq("doc_id", "place_name", "g_lat", "g_lon"))
   }
 
+  test("gazetteer match equals the brute-force token-sequence reference on random worlds") {
+    // randomized cross-check of the full inverted-index + n-gram pipeline
+    // against a 5-line Scala reference: 200 pages of 0-30 tokens over a
+    // 12-word vocab, 25 names of 1-3 tokens (many never occurring,
+    // overlapping first tokens, duplicate-prone)
+    val rng = new scala.util.Random(20260817L)
+    val vocab = Vector("a", "b", "c", "dd", "ee", "ff", "g1", "g2", "h", "i", "jj", "k")
+    val pages = (0 until 200).map { id =>
+      val n = rng.nextInt(31)
+      (id.toLong, Seq.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val names = (0 until 25).map { i =>
+      val m = 1 + rng.nextInt(3)
+      (Seq.fill(m)(vocab(rng.nextInt(vocab.size))).mkString(" "), i.toDouble, -i.toDouble)
+    }.distinctBy(_._1)
+    val got = Geocode.gazetteerMatch(pages.toDF("doc_id", "text"),
+        names.toDF("place_name", "g_lat", "g_lon"), keyCols = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("place_name"))).toMap
+    // reference: token-sequence containment + min-name tie-break
+    def matches(text: String, name: String): Boolean =
+      s" $text ".contains(s" $name ")
+    val want = pages.map { case (id, text) =>
+      id -> names.map(_._1).filter(matches(text, _)).sorted.headOption
+    }.toMap
+    assert(got == want, {
+      val bad = want.keys.filter(k => got.get(k) != want.get(k)).take(5)
+      s"mismatches at ${bad.map(k => (k, got.get(k), want.get(k))).mkString(", ")}"
+    })
+    assert(want.values.flatten.nonEmpty, "degenerate fixture: nothing matched")
+    assert(want.values.exists(_.isEmpty), "degenerate fixture: everything matched")
+  }
+
   test("gazetteer match handles empty gazetteer and empty pages without error") {
     val emptyGaz = Seq.empty[(String, Double, Double)].toDF("place_name", "g_lat", "g_lon")
     val pages = Seq((1L, "some text here")).toDF("doc_id", "text")
