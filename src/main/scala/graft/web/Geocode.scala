@@ -99,12 +99,12 @@ object Geocode {
     * Empty `keyCols` (the default) uses every page column as the identity
     * and returns them all — correct for key-less frames, text-wide through
     * the shuffles. Output has SET semantics per page identity: one row per
-    * distinct page, matched or (under `keepUnmatched`) null-extended.
-    * CONTRACT: rows sharing a key must carry the same text — the n-gram
-    * window orders each key's token stream by position, so two DIFFERENT
-    * texts under one key would interleave (exact duplicates are harmless:
-    * tied positions hold equal tokens and the min-aggregate collapses
-    * them). */
+    * distinct key, matched or (under `keepUnmatched`) null-extended.
+    * Duplicate keys are safe: (keys, text) rows dedup before
+    * tokenization and the n-gram window partitions per distinct text (a
+    * 64-bit text discriminator joins the partition key), so streams never
+    * interleave; a key carrying several distinct texts matches the UNION
+    * of its texts' names, min-name tie-break across the union. */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
                      keyCols: Seq[String] = Nil): DataFrame = {
@@ -119,10 +119,15 @@ object Geocode {
         split(col("place_name"), " ").getItem(0).as("tok0"),
         (size(split(col("place_name"), " ")) > 1).as("multi"))
     val g0 = struct(col("place_name"), col("g_lat"), col("g_lon")).as("g0")
+    // exact-duplicate rows collapse BEFORE tokenization: tied window
+    // positions from identical copies would manufacture n-grams the text
+    // does not contain ("a b" twice → stream [a,a,b,b] → bigram "a a")
+    val distinctPages = pages
+      .select((keys :+ "text").distinct.map(col): _*).distinct()
     // tokens stream: keys + one token per row — text PRUNED before the
     // explode, so a 10k-token page costs 10k narrow rows, not 10k copies
     // of its text (keyCols empty degrades gracefully: keys ⊇ text)
-    val toks = pages
+    val toks = distinctPages
       .select(keys.map(col) :+
         explode(array_distinct(split(col("text"), " "))).as("tok0"): _*)
     // single-token names are fully proven by the token equi-join
@@ -142,11 +147,15 @@ object Geocode {
       if (multiLens.isEmpty)
         singleHits.limit(0)
       else {
+        // partition per distinct TEXT, not per key: a key carrying two
+        // different texts (re-crawled url) must not interleave their token
+        // streams — t_disc discriminates them (64-bit hash; a collision
+        // merges two streams, ~2⁻⁶⁴ per duplicate-key pair)
         val wPos = org.apache.spark.sql.expressions.Window
-          .partitionBy(keys.map(col): _*).orderBy(col("pos"))
-        val toksPos = pages
-          .select(keys.map(col) :+
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")): _*)
+          .partitionBy((keys.map(col) :+ col("t_disc")): _*).orderBy(col("pos"))
+        val toksPos = distinctPages
+          .select(keys.map(col) ++ Seq(xxhash64(col("text")).as("t_disc"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))): _*)
         val maxM = multiLens.max
         val withLeads = (1 until maxM).foldLeft(toksPos)((df, i) =>
           df.withColumn(s"lead_$i", lead(col("tok"), i).over(wPos)))
@@ -180,25 +189,33 @@ object Geocode {
   /** Gazetteer fallback: pages with no coordinate marker are matched by
     * place-name mention (token-boundary semantics, [[gazetteerMatch]])
     * against a broadcast gazetteer (name → centroid). `keyCols` names the
-    * page identity (default `url`) so the match runs entirely on
-    * text-pruned token streams; full rows re-attach by ONE key join where
-    * text rides as a value — never as a shuffle key (the all-columns
-    * grouping would hash megabyte text strings as part of the key).
-    * Row multiplicity is preserved: duplicate pages by key each keep
-    * their row, matching the marker branch. */
+    * crawl-record identity — default (url, warc_ts), so a re-crawled url
+    * with different text matches against ITS OWN text, not its sibling's.
+    * The match runs entirely on text-pruned token streams; full rows
+    * re-attach by ONE null-safe key join where text rides as a value —
+    * never as a shuffle key (the all-columns grouping would hash megabyte
+    * text strings as part of the key). Unmatched pages null-extend via
+    * the left join itself (keepUnmatched=false: no redundant distinct +
+    * second join inside the match). Row multiplicity is preserved:
+    * duplicate pages by key each keep their row, as in the marker
+    * branch. */
   def geoparseWithGazetteer(pages: DataFrame, gazetteer: DataFrame,
-                            keyCols: Seq[String] = Seq("url")): DataFrame = {
+                            keyCols: Seq[String] = Seq("url", "warc_ts")): DataFrame = {
     val parsed = geoparse(pages)
     val withCoords = parsed.filter(col("lat").isNotNull)
     val without = parsed.filter(col("lat").isNull).drop("lat", "lon")
-    val matched = gazetteerMatch(without, gazetteer,
-        keepUnmatched = true, keyCols = keyCols)
-      .select(keyCols.map(col) ++ Seq(col("g_lat"), col("g_lon")): _*)
+    // match-side keys renamed before the re-attach join: `matched` derives
+    // from `without`, and same-name refs across that lineage trip Spark's
+    // ambiguous-self-join detection
+    val matched = keyCols.foldLeft(
+        gazetteerMatch(without, gazetteer, keepUnmatched = false, keyCols = keyCols)
+          .select(keyCols.map(col) ++ Seq(col("g_lat"), col("g_lon")): _*))(
+        (df, k) => df.withColumnRenamed(k, s"__m_$k"))
+    val cond = keyCols.map(k => col(k) <=> col(s"__m_$k")).reduce(_ && _)
     withCoords.unionByName(
-      without.join(matched, keyCols, "left")
-        .withColumn("lat", col("g_lat"))
-        .withColumn("lon", col("g_lon"))
-        .drop("g_lat", "g_lon"))
+      without.join(matched, cond, "left")
+        .select(without.columns.map(col) ++
+          Seq(col("g_lat").as("lat"), col("g_lon").as("lon")): _*))
   }
 
   /** One geocode result bundle — single struct so the whole spatial join

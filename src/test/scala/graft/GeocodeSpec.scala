@@ -143,6 +143,38 @@ class GeocodeSpec extends AnyFunSuite {
     assert(want.values.exists(_.isEmpty), "degenerate fixture: everything matched")
   }
 
+  test("duplicate keys never interleave token streams or forge n-grams") {
+    val gaz = Seq(("a a", 1.0, 1.0), ("new york", 2.0, 2.0), ("a b", 3.0, 3.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    // doc 1: two IDENTICAL rows — tied positions must not forge "a a";
+    // doc 2: two DIFFERENT texts under one key — "new" + "york" sit in
+    // separate streams, so "new york" must NOT match, while the union
+    // semantics still finds "a b" from the second text
+    val pages = Seq(
+      (1L, "a b"), (1L, "a b"),
+      (2L, "new here"), (2L, "york a b"))
+      .toDF("doc_id", "text")
+    val got = Geocode.gazetteerMatch(pages, gaz, keyCols = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("place_name"))).toMap
+    assert(got == Map(1L -> Some("a b"), 2L -> Some("a b")), s"got $got")
+  }
+
+  test("gazetteer fallback: null keys and re-crawled urls keep per-record matches") {
+    val gaz = Seq(("spark", 51.5, -0.12), ("york", 2.0, 2.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq(
+      (null.asInstanceOf[String], "t1", "visit spark today", "en"), // null key still matches
+      ("u2", "t1", "about spark", "en"),
+      ("u2", "t2", "about york", "en")) // re-crawl: each text matches its own name
+      .toDF("url", "warc_ts", "text", "lang")
+    val got = Geocode.geoparseWithGazetteer(pages, gaz)
+      .collect().map(r => (Option(r.getAs[String]("url")), r.getAs[String]("warc_ts")) ->
+        Option(r.getAs[java.lang.Double]("lat")).map(_.doubleValue)).toMap
+    assert(got((None, "t1")) == Some(51.5))
+    assert(got((Some("u2"), "t1")) == Some(51.5))
+    assert(got((Some("u2"), "t2")) == Some(2.0))
+  }
+
   test("gazetteer match handles empty gazetteer and empty pages without error") {
     val emptyGaz = Seq.empty[(String, Double, Double)].toDF("place_name", "g_lat", "g_lon")
     val pages = Seq((1L, "some text here")).toDF("doc_id", "text")
