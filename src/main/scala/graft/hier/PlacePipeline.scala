@@ -240,17 +240,26 @@ object PlacePipeline {
   def stats(t: PlaceTables, idParameter: Boolean = false): PlaceStats = {
     // one aggregate over the edges yields edge count, open count AND the
     // atom count (nJ = Σ n_ports — every atom belongs to exactly one edge),
-    // so junctionAtoms is never re-scanned here
-    val nB = t.boundaries.count()
-    val nS = t.streets.count()
-    val nBu = t.buildings.count()
-    val eAgg = t.junctionEdges
+    // so junctionAtoms is never re-scanned here. The four jobs share the
+    // build's cached intermediates and are independent — submit them
+    // CONCURRENTLY so their stage barriers overlap instead of serializing
+    // (values are plain counts; scheduling order cannot change them)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fB = Future(t.boundaries.count())
+    val fS = Future(t.streets.count())
+    val fBu = Future(t.buildings.count())
+    val fE = Future(t.junctionEdges
       .agg(count(lit(1)), count(col("outer_name")),
-        coalesce(sum(col("n_ports")), lit(0L))).collect()(0)
+        coalesce(sum(col("n_ports")), lit(0L))).collect()(0))
+    val eAgg = Await.result(fE, Duration.Inf)
     val nE = eAgg.getLong(0)
     val nOpen = eAgg.getLong(1)
     val nJ = eAgg.getLong(2)
-    PlaceStats.fromCounts(nB, nS, nBu, nJ, nE, nOpen, idParameter)
+    PlaceStats.fromCounts(Await.result(fB, Duration.Inf),
+      Await.result(fS, Duration.Inf), Await.result(fBu, Duration.Inf),
+      nJ, nE, nOpen, idParameter)
   }
 
   /** End-to-end build from a reference-format data directory. */
