@@ -45,7 +45,8 @@ object DistributedPip {
   /** Extra columns of `points` beyond (id, lat, lon) ride through the join
     * untouched — [[Raster.zonalStatsDistributed]] threads the raster value
     * this way instead of paying a second shuffle to re-join it. */
-  val ReservedCols: Set[String] = Set("cell", "boundary_id", "pip_full", "pip_wkb")
+  val ReservedCols: Set[String] = Set("cell", "boundary_id", "pip_full", "pip_wkb",
+    "point_id")
 
   /** points: (id, lat, lon, payload...); zones: (boundary_id, wkb).
     * Returns (point_id, lat, lon, payload..., boundary_id) — one row per
@@ -56,6 +57,8 @@ object DistributedPip {
     graft.functions.GeoFunctions.register(spark)
     require(points.columns.forall(c => !ReservedCols.contains(c)),
       s"point columns collide with reserved names: ${ReservedCols.mkString(",")}")
+    require(Seq("id", "lat", "lon").forall(points.columns.contains),
+      s"points must carry (id, lat, lon); got ${points.columns.mkString(",")}")
 
     val cover = zones.select(col("boundary_id"), col("wkb"))
       .as[(Long, Array[Byte])]
@@ -74,13 +77,18 @@ object DistributedPip {
           // stays byte-identical to the broadcast path (checked once per
           // zone, not per cell)
           val clipOk = geom.isValid
+          // unclipped fallback bytes serialized ONCE per zone, not per
+          // border cell (an invalid 10⁵-vertex zone would otherwise pay
+          // 10⁵ full WKB serializations of the same geometry)
+          lazy val rawBytes = writer.write(geom)
           // minLevel = maxLevel = level → uniform single-level cover
           CellIndex.cover(geom, level, level).iterator.map { cell =>
             val cg = CellIndex.cellGeometry(cell)
             val full = prep.containsProperly(cg)
             val payload =
               if (full) null
-              else writer.write(if (clipOk) clipToCell(geom, cell) else geom)
+              else if (clipOk) writer.write(clipToCell(geom, cell))
+              else rawBytes
             (cell, id, full, payload)
           }
         }
@@ -90,8 +98,12 @@ object DistributedPip {
     val pts = points
       .withColumn("cell", graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), level))
 
+    // id resolved BY NAME (the round-3 contract) — positional head-column
+    // selection would silently mislabel ids for callers whose id is not
+    // the first column
     val outCols: Seq[Column] =
-      col(ptCols.head).as("point_id") +: ptCols.tail.map(col) :+ col("boundary_id")
+      col("id").as("point_id") +: ptCols.filterNot(_ == "id").map(col).toSeq :+
+        col("boundary_id")
     pts.join(cover, "cell")
       .filter(pipRefine(col("cell"), col("boundary_id"), col("pip_full"),
         col("pip_wkb"), col("lat"), col("lon")))

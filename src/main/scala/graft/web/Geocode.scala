@@ -108,9 +108,11 @@ object Geocode {
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
                      keyCols: Seq[String] = Nil): DataFrame = {
-    val reserved = Set("place_name", "g_lat", "g_lon", "tok0", "multi", "g0", "g")
-    require(pages.columns.forall(c => !reserved.contains(c)),
-      s"page columns collide with reserved names: ${reserved.mkString(",")}")
+    val reserved = Set("place_name", "g_lat", "g_lon", "tok0", "multi", "g0", "g",
+      "pos", "tok", "t_disc", "ngram")
+    require(pages.columns.forall(c =>
+        !reserved.contains(c) && !c.matches("lead_\\d+")),
+      s"page columns collide with reserved names: ${reserved.mkString(",")}, lead_N")
     require(keyCols.forall(pages.columns.contains),
       s"keyCols ${keyCols.mkString(",")} must be page columns")
     val keys = if (keyCols.nonEmpty) keyCols else pages.columns.toSeq

@@ -212,6 +212,17 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(got == Set(0L, 2L, 4L), s"got $got")
   }
 
+  test("containsJoin resolves the point id by NAME, not position") {
+    import spark.implicits._
+    // id deliberately last: positional head-column selection would emit
+    // latitudes as point_id (silently wrong values, not an error)
+    val pts = Seq((41.0, 1.0, 7L), (50.0, 5.0, 8L)).toDF("lat", "lon", "id")
+    val got = graft.spatial.DistributedPip.containsJoin(spark, pts,
+        Seq((1L, rectWkb(0.0, 40.0, 2.0, 42.0))).toDF("boundary_id", "wkb"), level = 8)
+      .select("point_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(7L), s"got $got")
+  }
+
   test("invalid (bowtie) zone polygons neither crash nor diverge from the broadcast path") {
     import spark.implicits._
     val gf = new GeometryFactory()
