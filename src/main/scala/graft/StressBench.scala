@@ -187,8 +187,14 @@ object StressBench {
     // page scan, not pages × names — the NLJ this replaced would do
     // 2×10⁸..2×10⁹ substring scans here
     out += "q43_gazetteer" -> measure(spark, "q43_gazetteer", docsBase) { n =>
-      val gaz = spark.range(10000).select(
-        concat(lit("t"), col("id")).as("place_name"),
+      // DEPLOYMENT gazetteer size: 100k names, every 10th a two-token name
+      // (exercising the n-gram verify path at scale); candidates stay
+      // Σ df(firstToken) so time tracks the page scan — the replaced NLJ
+      // would do 2×10⁹..2×10¹⁰ substring scans here
+      val gaz = spark.range(100000).select(
+        when(col("id") % 10 === 0,
+          concat(lit("t"), col("id"), lit(" t"), col("id") + 1))
+          .otherwise(concat(lit("t"), col("id"))).as("place_name"),
         (col("id") % 180 - 90).cast("double").as("g_lat"),
         (col("id") % 360 - 180).cast("double").as("g_lon"))
       graft.web.Geocode.gazetteerMatch(
