@@ -227,6 +227,27 @@ object StressBench {
         zonesDf, coverLevel = 10)
     }
 
+    // the path's REAL regime: the ZONE table grows 10× (per-tenant fences
+    // — the side that cannot broadcast) over a fixed 200k-point raster;
+    // each ~0.1° rect covers O(1) level-10 cells, so cover rows, shuffle
+    // and refine all grow linearly in zones — expect ~linear
+    out += "q45_zonal_manyzones" -> measure(spark, "q45_zonal_manyzones", 1000L) { z =>
+      import spark.implicits._
+      val raster = graft.spatial.Raster.rasterize(
+        spark, points(spark, 200000L), level = 10)
+      val zones = spark.range(z).mapPartitions { it =>
+        val gf = new org.locationtech.jts.geom.GeometryFactory()
+        val w = new org.locationtech.jts.io.WKBWriter()
+        it.map { i =>
+          val x0 = math.floorMod(graft.synth.SynthWorld.mix(i), 790L) / 100.0
+          val y0 = 40.0 + math.floorMod(graft.synth.SynthWorld.mix(i * 13), 790L) / 100.0
+          (i, w.write(gf.toGeometry(
+            new org.locationtech.jts.geom.Envelope(x0, x0 + 0.1, y0, y0 + 0.1))))
+        }
+      }.toDF("boundary_id", "wkb")
+      graft.spatial.Raster.zonalStatsDistributed(spark, raster, zones, coverLevel = 10)
+    }
+
     out += "q38_cc" -> measure(spark, "q38_cc", 50000L)(n =>
       graft.spatial.Raster.connectedComponents(spark, clusteredCells(spark, n), gridN = 1L << 20))
 
