@@ -119,6 +119,12 @@ object CellIndex {
     ((y0 + y1) / 2, (x0 + x1) / 2) // (lat, lon)
   }
 
+  /** Scalar centroid components — static kernels for the codegen
+    * `cell_centroid_lat`/`cell_centroid_lon` expressions (tuple-returning
+    * [[centroid]] cannot be called from generated Java). */
+  def centroidLat(cell: Long): Double = { val (_, y0, _, y1) = bounds(cell); (y0 + y1) / 2 }
+  def centroidLon(cell: Long): Double = { val (x0, _, x1, _) = bounds(cell); (x0 + x1) / 2 }
+
   /** All cells at Chebyshev grid distance exactly k (the k-th ring).
     * Lon wraps around the antimeridian; rows off the poles are dropped.
     * At coarse levels where the ring is wider than the grid (2k+1 ≥ 2^l),

@@ -64,6 +64,43 @@ case class HaversineM(children: Seq[Expression]) extends Expression {
       newChildren: IndexedSeq[Expression]): Expression = copy(newChildren)
 }
 
+/** Cell-centroid latitude — codegen replacement for the tuple-returning
+  * centroid UDF in the Raster/kNN hot paths (an interpreted UDF there costs
+  * per-row serde on the biggest join of q36/q44/q45). */
+case class CellCentroidLat(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "cell_centroid_lat"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(cell: Any): Any =
+    CellIndex.centroidLat(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cells.CellIndex.centroidLat($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+case class CellCentroidLon(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "cell_centroid_lon"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(cell: Any): Any =
+    CellIndex.centroidLon(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.cells.CellIndex.centroidLon($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+/** Per-ring kNN termination bound (CellIndex.minCellExtentM) as a codegen
+  * expression — evaluated once per pooled candidate row each ring round. */
+case class MinCellExtentM(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "min_cell_extent_m"
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(lat: Any, lvl: Any): Any =
+    CellIndex.minCellExtentM(lat.asInstanceOf[Double], lvl.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lat, lvl) => s"graft.cells.CellIndex.minCellExtentM($lat, $lvl)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(l, r)
+}
+
 /** Static kernel for [[VecDot]] — shared by eval and generated code;
   * iterates ArrayData directly (no intermediate array, the reason this
   * beats `aggregate(zip_with(...))` which materializes a 64-element array
@@ -107,8 +144,14 @@ object GeoFunctions {
     call_function("haversine_m", lat1, lon1, lat2, lon2)
   def vec_dot(a: Column, b: Column): Column =
     call_function("vec_dot", a, b)
+  def cell_centroid_lat(cell: Column): Column =
+    call_function("cell_centroid_lat", cell)
+  def cell_centroid_lon(cell: Column): Column =
+    call_function("cell_centroid_lon", cell)
+  def min_cell_extent_m(lat: Column, level: Int): Column =
+    call_function("min_cell_extent_m", lat, lit(level))
 
-  /** Register cell_of / cell_parent / haversine_m / vec_dot for spark.sql. */
+  /** Register the geo expressions for spark.sql / call_function. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cell_of",
@@ -119,5 +162,11 @@ object GeoFunctions {
       es => HaversineM(es), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       es => VecDot(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("cell_centroid_lat",
+      es => CellCentroidLat(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("cell_centroid_lon",
+      es => CellCentroidLon(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("min_cell_extent_m",
+      es => MinCellExtentM(es(0), es(1)), "built-in")
   }
 }

@@ -95,16 +95,17 @@ object DistributedKnn {
   private def poolLoop(spark: SparkSession, points: DataFrame, targets: DataFrame,
                        level: Int, k: Int, maxRing: Int): Option[DataFrame] = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // the refine/key computations are the registered CODEGEN expressions
+    // (GeoFunctions) — no per-row UDF serde on the biggest join of q36/q44;
+    // only ringBatch stays a UDF (genuinely array-generating)
+    graft.functions.GeoFunctions.register(spark)
+    import graft.functions.GeoFunctions.{haversine_m, min_cell_extent_m, cell_of}
     val ringBatch = udf { (lat: Double, lon: Double, lo: Int, hi: Int) =>
       val center = CellIndex.cellOf(lat, lon, level)
       (lo until hi).flatMap(r => CellIndex.ring(center, r)).distinct.toArray
     }
-    val dist = udf { (lat: Double, lon: Double, tlat: Double, tlon: Double) =>
-      CellIndex.haversineM(lat, lon, tlat, tlon)
-    }
     val targetsByCell = targets
-      .withColumn("cell", udf((la: Double, lo: Double) => CellIndex.cellOf(la, lo, level))
-        .apply(col("tlat"), col("tlon")))
+      .withColumn("cell", cell_of(col("tlat"), col("tlon"), level))
       .cache()
 
     val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
@@ -118,7 +119,7 @@ object DistributedKnn {
         .withColumn("cell",
           explode(ringBatch(col("lat"), col("lon"), lit(lo), lit(hi))))
         .join(targetsByCell, "cell")
-        .withColumn("d", dist(col("lat"), col("lon"), col("tlat"), col("tlon")))
+        .withColumn("d", haversine_m(col("lat"), col("lon"), col("tlat"), col("tlon")))
         .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
       val pool0 = if (best == null) cands
         else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
@@ -132,7 +133,6 @@ object DistributedKnn {
       val pool =
         if ((1L << level) <= 2L * maxRing) pool0.dropDuplicates("id", "tid")
         else pool0
-      val minExtent = udf { (lat: Double) => CellIndex.minCellExtentM(lat, level) }
       // per-point running top-k; kth = the worst retained distance and
       // cnt = retained pool size drive the finalization rule below
       val roundBest = materialize(spark, pool
@@ -147,7 +147,7 @@ object DistributedKnn {
       val finalized =
         if (hi > maxRing) roundBest
         else roundBest.filter(col("cnt") === k &&
-          col("kth") <= lit(hi - 1) * minExtent(col("lat")))
+          col("kth") <= lit(hi - 1) * min_cell_extent_m(col("lat"), level))
       // `best` is materialized per round too: it accumulates a union per
       // round, and sparse worlds (many empty rings) would otherwise blow up
       // analysis time

@@ -57,10 +57,13 @@ object Raster {
     * shuffle plus the final groupBy — no second shuffle to re-attach `v`. */
   def zonalStatsDistributed(spark: SparkSession, raster: DataFrame, zones: DataFrame,
                             coverLevel: Int): DataFrame = {
-    val cent = udf { (cell: Long) => CellIndex.centroid(cell) }
+    // centroid via the registered codegen expressions — no per-row UDF serde
+    // on the fact side of the PIP join
+    graft.functions.GeoFunctions.register(spark)
     val pts = raster.select(col("cell").as("id"), col("v"))
-      .withColumn("c", cent(col("id")))
-      .select(col("id"), col("c._1").as("lat"), col("c._2").as("lon"), col("v"))
+      .withColumn("lat", graft.functions.GeoFunctions.cell_centroid_lat(col("id")))
+      .withColumn("lon", graft.functions.GeoFunctions.cell_centroid_lon(col("id")))
+      .select(col("id"), col("lat"), col("lon"), col("v"))
     DistributedPip.containsJoin(spark, pts, zones, coverLevel)
       .groupBy("boundary_id")
       .agg(count(lit(1)).as("n_cells"), sum(col("v")).as("sum_v"))

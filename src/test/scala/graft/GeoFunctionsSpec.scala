@@ -52,6 +52,29 @@ class GeoFunctionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(4))
   }
 
+  test("cell_centroid_lat/lon and min_cell_extent_m match the Scala kernels") {
+    val df = pts.toDF("lat", "lon")
+      .withColumn("cell", GeoFunctions.cell_of(col("lat"), col("lon"), 12))
+      .withColumn("clat", GeoFunctions.cell_centroid_lat(col("cell")))
+      .withColumn("clon", GeoFunctions.cell_centroid_lon(col("cell")))
+      .withColumn("ext", GeoFunctions.min_cell_extent_m(col("lat"), 12))
+    for (r <- df.collect()) {
+      val (elat, elon) = CellIndex.centroid(r.getLong(2))
+      assert(r.getDouble(3) == elat && r.getDouble(4) == elon)
+      assert(r.getDouble(5) == CellIndex.minCellExtentM(r.getDouble(0), 12))
+    }
+    // all three stay inside whole-stage codegen (the kNN/Raster hot-path
+    // contract: no ScalaUDF/serde break in the refine projections)
+    val gen = spark.range(500)
+      .withColumn("lat", col("id") % 180 - 89.5)
+      .withColumn("cell", GeoFunctions.cell_of(col("lat"), lit(0.5), 12))
+      .withColumn("clat", GeoFunctions.cell_centroid_lat(col("cell")))
+      .withColumn("ext", GeoFunctions.min_cell_extent_m(col("lat"), 12))
+    val plan = gen.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("cell_centroid_lat") &&
+      plan.contains("min_cell_extent_m"), plan)
+  }
+
   test("functions are callable from SQL") {
     val got = spark.sql(
       "SELECT cell_of(51.5d, -0.1d, 12) AS c, cell_parent(cell_of(51.5d, -0.1d, 12), 4) AS p, " +
