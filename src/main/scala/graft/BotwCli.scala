@@ -18,6 +18,7 @@ import graft.react.Reactions
   *     -write-dot <path>    S7 dot sink (botw.ml:185, 44-57)
   *     -bfs <maxStates>     BRS bfs state-space exploration (builder.mli:140-150)
   *     -sim <steps>         BRS seeded random walk (builder.mli:152-160)
+  *     -rewrite <maxSteps>  BRS priority-class reduction to fixpoint (builder.mli:136)
   *
   * Prints the S8 stats block (hierarchy.ml:236-286) in the reference's
   * format, then per-reaction timings.
@@ -129,6 +130,19 @@ object BotwCli {
         val (end, taken, trace) = Reactions.sim(state, brsRules, steps = n.toInt, seed = seed)
         println(s"[botw] sim: $taken steps [${trace.mkString(", ")}]; " +
           s"agent at: ${end.whereIs("agent-0")}")
+      }
+      // reference's main reduction entry point (builder.mli:136): reduce to
+      // a fixpoint under two priority classes — leave-rules preempt
+      // enter/move, so the reduction drains agents outward and terminates
+      // instead of cycling to the bound
+      for (m <- flagArg("-rewrite")) timed("rewrite") {
+        val prio = Seq(
+          brsRules.filter { case (n, _) => n.startsWith("leave") },
+          brsRules.filterNot { case (n, _) => n.startsWith("leave") })
+        val (end, taken, trace) = Reactions.rewritePrioritized(state, prio, maxSteps = m.toInt)
+        println(s"[botw] rewrite: $taken applications" +
+          (if (taken < m.toInt) " (fixpoint)" else " (bound)") +
+          s" [${trace.mkString(", ")}]; agent at: ${end.whereIs("agent-0")}")
       }
     }
     spark.stop()

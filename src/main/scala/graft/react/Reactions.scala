@@ -170,22 +170,40 @@ object Reactions {
     * extra job. */
   def stepTruncated(s: BigraphState, matches: DataFrame,
                     maxOccurrences: Int = 1024): (Seq[BigraphState], Boolean) = {
+    // clamp: limit(Int.MaxValue + 1) would overflow to a negative limit and
+    // fail the query — MaxValue-1 keeps the +1 truncation probe valid
+    val cap = math.min(maxOccurrences, Int.MaxValue - 1)
     val rows =
-      matches.orderBy(col("agent"), col("target")).limit(maxOccurrences + 1).collect()
-    (LazyList.from(rows.take(maxOccurrences))
+      matches.orderBy(col("agent"), col("target")).limit(cap + 1).collect()
+    (LazyList.from(rows.take(cap))
       .map(r => reparent(s, r.getLong(0), r.getLong(1))),
-      rows.length > maxOccurrences)
+      rows.length > cap)
+  }
+
+  /** The i-th (0-based) occurrence in canonical (agent, target) order, as
+    * ONE collected row — executor-side row_number over an unpartitioned
+    * window (a single-partition sort of THIS state's occurrences only; the
+    * chosen rule pays one extra scan instead of the driver paying O(i)
+    * rows). Shared by [[randomStep]] and [[simPrioritized]]'s seeded pick. */
+  private def occurrenceAt(matches: DataFrame, i: Long): org.apache.spark.sql.Row = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("agent"), col("target"))
+    matches.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === i + 1).collect()(0)
   }
 
   /** BRS `random_step` (builder.mli:129-133): apply one occurrence chosen
     * uniformly by a SEEDED pick over the canonical order (determinism rule
-    * §7.5 replaces the reference's Random.self_init). floorMod, not .abs:
+    * §7.5 replaces the reference's Random.self_init). Occurrences are
+    * COUNTED on executors and only the chosen row is collected — O(1)
+    * driver rows regardless of match-set size. floorMod, not .abs:
     * Long.MinValue.abs is negative. */
   def randomStep(s: BigraphState, matches: DataFrame, seed: Long): Option[BigraphState] = {
-    val ms = matches.orderBy(col("agent"), col("target")).collect()
-    if (ms.isEmpty) None
+    val n = matches.count()
+    if (n == 0) None
     else {
-      val r = ms(math.floorMod(graft.synth.SynthWorld.mix(seed), ms.length.toLong).toInt)
+      val r = occurrenceAt(matches,
+        math.floorMod(graft.synth.SynthWorld.mix(seed), n))
       Some(reparent(s, r.getLong(0), r.getLong(1)))
     }
   }
@@ -267,7 +285,16 @@ object Reactions {
   /** The transition system explored by [[bfs]]: canonical states (index 0 =
     * s0) and labeled edges (fromState, ruleName, toState). `truncated` is
     * true when maxStates stopped the exploration (the reference's MAX
-    * exception, builder.mli:139). */
+    * exception, builder.mli:139).
+    *
+    * PROBABILISTIC IDENTITY CONTRACT: state dedup runs on the executor-side
+    * [[StateDigest]] (two independent xxhash64 streams + exact counts,
+    * ~2⁻¹²⁸ collision odds per comparison — see [[stateDigest]]); a
+    * colliding pair would silently merge two distinct states into one
+    * node. At the bounded maxStates ≤ 10⁶ this engine explores, the union
+    * bound stays below 10⁻²⁶ per exploration — accepted by design rather
+    * than paying a full-row collect per GENERATED successor (the round-3
+    * shape, O(successors × places) driver rows at Berlin scale). */
   case class TransitionGraph(states: IndexedSeq[BigraphState],
                              edges: Seq[(Int, String, Int)],
                              truncated: Boolean) {
@@ -301,6 +328,37 @@ object Reactions {
       for ((f, rule, t) <- edges) sb.append(s"""  s$f -> s$t [label="$rule"];\n""")
       sb.append("}\n")
       sb.toString
+    }
+
+    /** PRISM explicit state-reward export (reference `to_state_rewards`,
+      * builder.mli:163). The reference bakes rewards into predicates at
+      * parse time; here the caller passes (name, predicate, reward) and a
+      * state's reward is the SUM over the predicates it satisfies. Format:
+      * `<#states> <#nonzero-reward states>` then one `state reward` line
+      * per nonzero state in state order (the PRISM .srew layout). */
+    def toStateRewards(predicates: Seq[(String, BigraphState => Boolean, Long)]): String = {
+      val rewards = states.indices.map(i =>
+        i -> predicates.collect { case (_, p, r) if p(states(i)) => r }.sum)
+        .filter(_._2 != 0L)
+      (s"${states.length} ${rewards.length}" +:
+        rewards.map { case (i, r) => s"$i $r" }).mkString("", "\n", "\n")
+    }
+
+    /** PRISM explicit transition-reward export (reference
+      * `to_transition_rewards`, builder.mli:164). The reference takes each
+      * reaction's reward label; here the caller maps rule name → reward
+      * (absent rules reward 0). Format: `<#states> <#nonzero transitions>`
+      * then `src dst reward` lines in the same numeric (src, dst) order as
+      * [[toPrism]] — parallel edges (two rules joining the same state
+      * pair) keep one line each, exactly as toPrism keeps both
+      * transitions. */
+    def toTransitionRewards(ruleRewards: Map[String, Long]): String = {
+      val rewarded = edges
+        .map { case (f, rule, t) => (f, t, ruleRewards.getOrElse(rule, 0L)) }
+        .filter(_._3 != 0L)
+        .sortBy(e => (e._1, e._2, e._3))
+      (s"${states.length} ${rewarded.length}" +:
+        rewarded.map { case (f, t, r) => s"$f $t $r" }).mkString("", "\n", "\n")
     }
   }
 
@@ -398,24 +456,35 @@ object Reactions {
     var pending: List[DataFrame] = Nil
     while (t < steps && !dead) {
       val sNow = s
-      val occs = priorities.iterator.map { cls =>
-        cls.flatMap { case (name, matcher) =>
-          matcher(sNow).orderBy(col("agent"), col("target")).limit(maxOccurrencesPerRule)
-            .collect().map(r => (name, r.getLong(0), r.getLong(1)))
-        }
+      // ONE-ROW seeded pick: occurrences are COUNTED per rule on executors
+      // (capped at maxOccurrencesPerRule — the same canonical-prefix pool
+      // the round-4 per-step collect drew from, so traces are bit-identical
+      // on any seed); the active class is the first with any occurrence.
+      // Driver traffic per step: one scalar per rule + the single chosen
+      // occurrence row, instead of O(occurrences) rows.
+      val counted = priorities.iterator.map { cls =>
+        cls.map { case (name, matcher) =>
+          val m = matcher(sNow)
+          (name, m, math.min(m.count(), maxOccurrencesPerRule.toLong))
+        }.filter(_._3 > 0)
       }.find(_.nonEmpty).getOrElse(Nil)
-      // the collects above materialized s → anything superseded before it is dead
+      // the counts above materialized s → anything superseded before it is dead
       pending.foreach(_.unpersist(false))
       pending = Nil
-      if (occs.isEmpty) dead = true
+      if (counted.isEmpty) dead = true
       else {
-        val (name, agent, target) =
-          occs(math.floorMod(graft.synth.SynthWorld.mix(seed ^ t.toLong), occs.length.toLong).toInt)
+        val total = counted.map(_._3).sum
+        var i = math.floorMod(graft.synth.SynthWorld.mix(seed ^ t.toLong), total)
+        var ri = 0
+        while (i >= counted(ri)._3) { i -= counted(ri)._3; ri += 1 }
+        val name = counted(ri)._1
+        val chosen = occurrenceAt(counted(ri)._2, i)
+        val (agent, target) = (chosen.getLong(0), chosen.getLong(1))
         val nextState = reparent(s, agent, target)
         // same plan-collapse cadence as fix(): without it the stacked
         // point-update projections grow analysis cost unboundedly
         val (newState, superseded) =
-          if ((t + 1) % 16 == 0)
+          if ((t + 1) % CollapseEvery == 0)
             (nextState.copy(places = truncateLineage(nextState.places)),
               List(s.places, nextState.places))
           else (nextState, List(s.places))
@@ -438,6 +507,16 @@ object Reactions {
   private def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema).cache()
 
+  /** Plan-collapse cadence for the iterative loops ([[fix]]/[[sim]]/
+    * [[rewritePrioritized]]): every 4 applications the stacked point-update
+    * projections are truncated. 4, not the round-4 16: rule matchers
+    * SELF-JOIN places, and optimizer constraint derivation over a deep
+    * when-chain on both join sides grows super-linearly in chain depth —
+    * at Dover scale (2.2k places, 5-rule probes) a 16-deep chain exhausted
+    * an 8 GB driver, while depth ≤4 runs 50 applications in ~0.7 s/step
+    * flat. */
+  private val CollapseEvery = 4
+
   /** B7 fix: apply `rule` until no occurrence (bounded;
     * builder.mli:124-136). Every 16 steps the stacked point-update
     * projections are collapsed by materializing the plan — without this the
@@ -459,7 +538,7 @@ object Reactions {
         // rule(s) just collected over s → frames superseded BEFORE s are dead
         pending.foreach(_.unpersist(false))
         val (newState, superseded) =
-          if ((n + 1) % 16 == 0) {
+          if ((n + 1) % CollapseEvery == 0) {
             val tr = next.copy(places = truncateLineage(next.places),
               contacts = truncateLineage(next.contacts))
             (tr, List(s.places, s.contacts, next.places, next.contacts))
@@ -482,5 +561,75 @@ object Reactions {
     }
     pending.foreach(_.unpersist(false))
     (s, n)
+  }
+
+  /** BRS `rewrite` over a flat rule list (reference builder.mli:136
+    * `rewrite : Big.t -> p_class list -> Big.t * int` with one class) —
+    * see [[rewritePrioritized]]. */
+  def rewrite(s0: BigraphState,
+              rules: Seq[(String, BigraphState => DataFrame)],
+              maxSteps: Int = 1000): (BigraphState, Int, Seq[String]) =
+    rewritePrioritized(s0, Seq(rules), maxSteps)
+
+  /** BRS `rewrite` (builder.mli:136): reduce `s0` to a fixpoint under
+    * priority classes — the reference's main reduction entry point. Each
+    * step re-scans the classes from the TOP: the first (highest-priority)
+    * class with any occurrence fires, and within it the first rule in class
+    * order applies its canonically-first occurrence (§7.5 determinism,
+    * replacing the solver's unspecified order — the same class-preemption
+    * rule as [[bfsPrioritized]], so a low-class rule never fires while any
+    * higher-class rule still matches). Stops when no class has an
+    * occurrence (the fixpoint) or at `maxSteps` (reparenting rule sets can
+    * cycle — move_across is its own inverse — so the bound is load-bearing,
+    * as in [[fix]]). Returns (final state, steps applied, fired-rule
+    * trace); the reference returns the (state, steps) pair.
+    *
+    * Cache discipline is [[fix]]'s: deferred frees one application late,
+    * plan collapse every 16 steps. */
+  def rewritePrioritized(s0: BigraphState,
+                         priorities: Seq[Seq[(String, BigraphState => DataFrame)]],
+                         maxSteps: Int = 1000): (BigraphState, Int, Seq[String]) = {
+    var s = s0
+    var n = 0
+    val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+    var more = true
+    var pending: List[DataFrame] = Nil
+    while (more && n < maxSteps) {
+      val sNow = s
+      // probe classes top-down, rules in class order, one row each; stop at
+      // the first rule with an occurrence — lower classes are never probed
+      // past a live higher class, let alone fired
+      val fired = priorities.iterator.flatMap(_.iterator)
+        .map { case (name, matcher) =>
+          (name, matcher(sNow).orderBy(col("agent"), col("target")).limit(1).collect())
+        }
+        .find(_._2.nonEmpty)
+      // the probes above materialized s → frames superseded before it are dead
+      pending.foreach(_.unpersist(false))
+      pending = Nil
+      fired match {
+        case Some((name, rows)) =>
+          val nextState = reparent(sNow, rows(0).getLong(0), rows(0).getLong(1))
+          // collapse every 4 applications, not fix's 16: rewrite PROBES
+          // up to every rule per step, and optimizer constraint derivation
+          // on a deep when-chain SELF-JOIN (leave/enter match both sides
+          // of places⋈places) grows super-linearly in chain depth — at
+          // Dover scale a 16-deep chain exhausted an 8 GB driver
+          val (newState, superseded) =
+            if ((n + 1) % CollapseEvery == 0)
+              (nextState.copy(places = truncateLineage(nextState.places)),
+                List(sNow.places, nextState.places))
+            else (nextState, List(sNow.places))
+          pending = superseded.distinct.filter(f =>
+            (f ne s0.places) && (f ne newState.places))
+          s = newState
+          trace += name
+          n += 1
+        case None =>
+          more = false
+      }
+    }
+    pending.foreach(_.unpersist(false))
+    (s, n, trace.toSeq)
   }
 }

@@ -157,6 +157,73 @@ class BrsSpec extends AnyFunSuite {
     assert(dot.contains("""label="move_across""""))
   }
 
+  test("sim's one-row seeded pick reproduces the round-4 collected-list trace") {
+    // the pick is uniform over the SAME canonical-prefix occurrence pool the
+    // old per-step collect materialized, so traces are bit-identical on any
+    // seed; this literal was captured from the collected-list implementation
+    val (_, n, trace) = Reactions.sim(world(), rules, steps = 12, seed = 99L)
+    assert(n == 12)
+    assert(trace == Seq("leave_building", "leave_street", "enter_street",
+      "leave_street", "enter_street", "enter_building", "leave_building",
+      "leave_street", "enter_street", "move_across", "leave_street", "enter_street"))
+  }
+
+  test("rewrite reduces to the fixpoint and counts applications (builder.mli:136)") {
+    // flat class [leave_building, leave_street]: building → s1 → boundary,
+    // then no occurrence — fixpoint after exactly 2 applications
+    val (end, n, trace) = Reactions.rewrite(world(), Seq(
+      "leave_building" -> (s => Reactions.leaveMatches(s, "Building")),
+      "leave_street" -> (s => Reactions.leaveMatches(s, "Street"))))
+    assert(n == 2 && trace == Seq("leave_building", "leave_street"))
+    assert(end.whereIs("a").map(_._2) == Some("Boundary"))
+  }
+
+  test("rewrite priority classes: a low-class rule never fires while a high one matches") {
+    // start the agent in s1 (leave the building first); class 1 move_across
+    // matches in EVERY street state (s1↔s2 cycle), so class 2 leave_street —
+    // which also matches every step — must never fire; the cycle runs to
+    // the maxSteps bound
+    val s1 = Reactions.leave(world(), "Building").get
+    val (_, n, trace) = Reactions.rewritePrioritized(s1, Seq(
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "move_across" -> (s => Reactions.moveAcrossMatches(s))),
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "leave_street" -> (s => Reactions.leaveMatches(s, "Street")))),
+      maxSteps = 9)
+    assert(n == 9 && trace.forall(_ == "move_across"))
+    // with the preempting class exhausted (no junctions), the lower class fires
+    val noLinks = BigraphState(
+      s1.places, spark.emptyDataFrame.select(
+        org.apache.spark.sql.functions.lit("").as("edge_key"),
+        org.apache.spark.sql.functions.lit(0L).as("place_id")).limit(0),
+      s1.contacts)
+    val (end2, n2, trace2) = Reactions.rewritePrioritized(noLinks, Seq(
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "move_across" -> (s => Reactions.moveAcrossMatches(s))),
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "leave_street" -> (s => Reactions.leaveMatches(s, "Street")))))
+    assert(n2 == 1 && trace2 == Seq("leave_street"))
+    assert(end2.whereIs("a").map(_._2) == Some("Boundary"))
+  }
+
+  test("PRISM reward exports: state rewards from predicates, transition rewards from rules") {
+    val tg = Reactions.bfs(world(), rules)
+    val srew = tg.toStateRewards(Seq(
+      ("in_building", s => s.whereIs("a").exists(_._2 == "Building"), 5L),
+      ("at_boundary", s => s.whereIs("a").exists(_._2 == "Boundary"), 7L),
+      ("everywhere_zero", _ => true, 0L)))
+    val sLines = srew.trim.split("\n")
+    assert(sLines.head == s"${tg.states.length} 2", srew)
+    assert(sLines.tail.contains("0 5"), "s0 (agent in building) rewards 5")
+    assert(sLines.tail.count(_.endsWith(" 7")) == 1, "exactly one boundary state")
+    // transition rewards: only the two move_across edges carry a reward
+    val trew = tg.toTransitionRewards(Map("move_across" -> 3L))
+    val tLines = trew.trim.split("\n")
+    assert(tLines.head == s"${tg.states.length} 2", trew)
+    val moveEdges = tg.edges.collect { case (f, "move_across", t) => s"$f $t 3" }.sorted
+    assert(tLines.tail.toSeq == moveEdges)
+  }
+
   test("bfs leaves no cached state frames behind") {
     val baseline = spark.sparkContext.getPersistentRDDs.size
     Reactions.bfs(world(), rules)
