@@ -163,6 +163,13 @@ object Bench {
         val cfgKey = s"${iCfg.seed}-${iCfg.gridP}-${iCfg.gridC}-" +
           s"${iCfg.streetsPerCity}-${iCfg.buildingsPerStreet}-${iCfg.pages}"
         val warcDir = s"${sys.props("java.io.tmpdir")}/graft-warc-bench-$cfgKey"
+        // the shards are written from EXECUTORS into java.io.tmpdir while
+        // the _DONE sentinel and the read happen driver-side — only
+        // coherent when driver and executors share a filesystem, i.e.
+        // local mode; on a real cluster this setup would silently produce
+        // partial input, so fail loudly instead
+        require(spark.sparkContext.isLocal,
+          "warc_ingest bench setup writes executor-local tmpdir shards; local mode only")
         if (!new java.io.File(s"$warcDir/_DONE").exists()) {
           new java.io.File(warcDir).mkdirs()
           // container files are written FROM EXECUTORS (one shard per

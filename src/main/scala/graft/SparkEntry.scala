@@ -143,6 +143,27 @@ object SparkEntry {
                                graft.spatial.SpatialOps.crossings(
                                  s, lines, graft.web.Flagship.boundaries(cfg), level = 11)
                              }),
+    "q46_crossings_distributed" -> ((s, d) => {
+                               // J8's fact×fact shape: boundary rings as a
+                               // TABLE through the cell-cover shuffle join
+                               // (clipped ring/line segments as payload);
+                               // same lines + zones as q34, same oracle SQL
+                               import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+                               import s.implicits._
+                               val cfg = graft.synth.SynthWorld.Config(seed = 42L, gridP = 2, gridC = 2)
+                               val gf = new GeometryFactory()
+                               val w = new org.locationtech.jts.io.WKBWriter()
+                               val lines = (0 until 64).map { i =>
+                                 val y = 40.25 + (i % 16) * 0.48
+                                 val x0 = 1.5 + (i / 16) * 2.0
+                                 (i.toLong, w.write(gf.createLineString(Array(
+                                   new Coordinate(x0, y), new Coordinate(x0 + 1.0, y)))))
+                               }.toDF("line_id", "wkb")
+                               val zones = graft.web.Flagship.boundaries(cfg)
+                                 .map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+                               graft.spatial.SpatialOps.crossingsDistributed(
+                                 s, lines, zones, level = 11)
+                             }),
     "q33_salted_agg"     -> ((s, d) => {
                                // explicit skew handling: two-phase salted agg
                                // must equal the plain GROUP BY (the oracle)
@@ -470,8 +491,9 @@ object SparkEntry {
            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          ) WHERE cos_r4 >= 0.32""",
     // token-boundary gazetteer match: name's space-joined token sequence
-    // occurs in the page's whitespace token stream; canonically-first
-    // (min place_name) entry wins per page
+    // occurs in the page's \s+-token stream; the oracle mirrors the
+    // tokenizer by collapsing whitespace runs to single spaces first;
+    // canonically-first (min place_name) entry wins per page
     "q43_gazetteer_geoparse" ->
       """WITH gaz(place_name, g_lat, g_lon) AS (
            VALUES ('spark', 51.5, -0.12), ('table scan', 48.85, 2.35),
@@ -481,7 +503,8 @@ object SparkEntry {
          ), m AS (
            SELECT d.doc_id, g.place_name, g.g_lat, g.g_lon
            FROM documents d JOIN gaz g
-             ON contains(' ' || d.text || ' ', ' ' || g.place_name || ' ')
+             ON contains(' ' || regexp_replace(d.text, '\s+', ' ', 'g') || ' ',
+                         ' ' || g.place_name || ' ')
          )
          SELECT doc_id, place_name,
                 CAST(g_lat AS DOUBLE) AS g_lat, CAST(g_lon AS DOUBLE) AS g_lon
@@ -509,6 +532,29 @@ object SparkEntry {
                 CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total
          FROM lineitem GROUP BY l_returnflag""",
     "q34_crossings" ->
+      """WITH lines AS (
+           SELECT i AS line_id, 40.25 + (i % 16) * 0.48 AS y,
+                  1.5 + (i // 16) * 2.0 AS xa
+           FROM generate_series(0,63) t(i)
+         ), rects AS (
+           SELECT CAST(1 AS BIGINT) AS boundary_id, 0.0 AS x0, 40.0 AS y0, 8.0 AS x1, 48.0 AS y1
+           UNION ALL
+           SELECT 100+pi*2+pj, pi*4.0, 40+pj*4.0, pi*4.0+4, 40+pj*4.0+4
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj)
+           UNION ALL
+           SELECT (100+pi*2+pj)*1000 + ci*2+cj, pi*4.0+ci*2, 40+pj*4.0+cj*2,
+                  pi*4.0+ci*2+2, 40+pj*4.0+cj*2+2
+           FROM generate_series(0,1) a(pi), generate_series(0,1) b(pj),
+                generate_series(0,1) c(ci), generate_series(0,1) d(cj)
+         )
+         SELECT l.line_id, r.boundary_id
+         FROM lines l, rects r
+         WHERE l.y > r.y0 AND l.y < r.y1
+           AND ((r.x0 >= l.xa AND r.x0 <= l.xa+1.0) OR (r.x1 >= l.xa AND r.x1 <= l.xa+1.0))""",
+    // q46 computes the SAME result as q34 through the fact×fact path
+    // (rings as a table, cover-cell shuffle join) — one oracle SQL, two
+    // operator implementations under test
+    "q46_crossings_distributed" ->
       """WITH lines AS (
            SELECT i AS line_id, 40.25 + (i % 16) * 0.48 AS y,
                   1.5 + (i // 16) * 2.0 AS xa

@@ -50,7 +50,14 @@ object DistributedPip {
 
   /** points: (id, lat, lon, payload...); zones: (boundary_id, wkb).
     * Returns (point_id, lat, lon, payload..., boundary_id) — one row per
-    * containing zone (zones may overlap/nest). */
+    * containing zone (zones may overlap/nest).
+    *
+    * NULL-COORDINATE POLICY: rows with a null lat or lon are DROPPED, by
+    * the explicit filter below (they can be contained by no zone). Without
+    * it the drop would still happen — but silently, at two different
+    * operators (null cell key fails the cover equi-join; the refine UDF's
+    * primitive params make Spark skip the call and null the predicate) —
+    * so the policy is stated here as contract rather than left emergent. */
   def containsJoin(spark: SparkSession, points: DataFrame, zones: DataFrame,
                    level: Int): DataFrame = {
     import spark.implicits._
@@ -96,6 +103,7 @@ object DistributedPip {
 
     val ptCols = points.columns
     val pts = points
+      .filter(col("lat").isNotNull && col("lon").isNotNull) // see policy above
       .withColumn("cell", graft.functions.GeoFunctions.cell_of(col("lat"), col("lon"), level))
 
     // id resolved BY NAME (the round-3 contract) — positional head-column

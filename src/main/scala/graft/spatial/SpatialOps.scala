@@ -76,4 +76,117 @@ object SpatialOps {
         }
       }.toDF("line_id", "boundary_id")
   }
+
+  /** Fact×fact crossings — [[crossings]] with the boundary set as a TABLE
+    * (boundary_id, wkb), the path when the ring index exceeds executor
+    * memory (per-tenant fences, planetary admin sets). Mirrors
+    * [[DistributedPip]]: each boundary RING flatMaps its uniform
+    * level-`level` cover into (cell, boundary_id, ring CLIPPED to the
+    * cell's expanded envelope); each line flatMaps its own cover into
+    * (cell, line_id, line clipped the same way); ONE shuffle on cell id
+    * joins them and the refine is an exact JTS `intersects` of the two
+    * local clips. Shuffle bytes are O(local boundary/line complexity) per
+    * cell — a coastline ring never replicates its full vertex set.
+    *
+    * Exactness: a crossing point p lies in some cell c; both covers
+    * contain c (both geometries pass through p), and both clips retain p
+    * (the window is the cell expanded by 10⁻⁶ of its width, so even a p
+    * exactly on the cell edge is interior to it) ⇒ the join at c finds
+    * the crossing. Conversely clips are subsets of the raw geometries, so
+    * a clipped intersection implies a raw one — no false positives.
+    * Output deduplicates (line_id, boundary_id): a long shared border
+    * crossing many cells reports once. */
+  def crossingsDistributed(spark: SparkSession, lines: DataFrame,
+                           boundaries: DataFrame, level: Int = 12): DataFrame = {
+    import spark.implicits._
+    val ringCover = boundaries.select(col("boundary_id"), col("wkb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = new WKBReader()
+        val writer = new org.locationtech.jts.io.WKBWriter()
+        it.flatMap { case (id, wkb) =>
+          // boundary of the RAW polygon first, then normalize — the
+          // buildRingIndex seam rule (normalizing first would add clip-line
+          // edges and fabricate crossings at ±180)
+          val ring = CellIndex.normalizeSeam(reader.read(wkb).getBoundary)
+          CellIndex.cover(ring, level).iterator.map { cell =>
+            (cell, id, writer.write(clipLineal(ring, cell)))
+          }
+        }
+      }.toDF("cell", "boundary_id", "b_wkb")
+    val lineCover = lines.select(col("line_id"), col("wkb"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = new WKBReader()
+        val writer = new org.locationtech.jts.io.WKBWriter()
+        it.flatMap { case (id, wkb) =>
+          val geom = CellIndex.normalizeSeam(reader.read(wkb))
+          CellIndex.cover(geom, level).iterator.map { cell =>
+            (cell, id, writer.write(clipLineal(geom, cell)))
+          }
+        }
+      }.toDF("cell", "line_id", "l_wkb")
+    val helper = new CrossRefine
+    val refine = udf { (cell: Long, bid: Long, bWkb: Array[Byte],
+                        lid: Long, lWkb: Array[Byte]) =>
+      helper.crosses(cell, bid, bWkb, lid, lWkb)
+    }
+    lineCover.join(ringCover, "cell")
+      .filter(refine(col("cell"), col("boundary_id"), col("b_wkb"),
+        col("line_id"), col("l_wkb")))
+      .select(col("line_id"), col("boundary_id"))
+      .distinct()
+  }
+
+  /** Geometry ∩ the cell's expanded envelope for LINEAL inputs — all
+    * components kept (a clip that degenerates to a point still witnesses
+    * `intersects`). Falls back to the unclipped geometry on an empty
+    * overlay or a TopologyException (the DistributedPip.clipToCell
+    * robustness rule). */
+  private def clipLineal(geom: Geometry, cell: Long): Geometry = {
+    val (lonMin, latMin, lonMax, latMax) = CellIndex.bounds(cell)
+    val eps = (lonMax - lonMin) * 1e-6
+    val window = geom.getFactory.toGeometry(new org.locationtech.jts.geom.Envelope(
+      lonMin - eps, lonMax + eps, latMin - eps, latMax + eps))
+    val clipped =
+      try geom.intersection(window)
+      catch { case _: org.locationtech.jts.geom.TopologyException => return geom }
+    if (clipped.isEmpty) geom else clipped
+  }
+
+  /** Per-task refine kernel with bounded LRUs of the deserialized clips —
+    * the join co-locates by cell, so each task sees few distinct
+    * (cell, id) pairs per side (the DistributedPip.RefineHelper posture). */
+  private final val CrossCacheCap = 512
+  private class CrossRefine extends Serializable {
+    @transient private lazy val rings =
+      new java.util.LinkedHashMap[(Long, Long),
+          org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long),
+              org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
+          size() > CrossCacheCap
+      }
+    @transient private lazy val lns =
+      new java.util.LinkedHashMap[(Long, Long), Geometry](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, Long), Geometry]): Boolean =
+          size() > CrossCacheCap
+      }
+    def crosses(cell: Long, bid: Long, bWkb: Array[Byte],
+                lid: Long, lWkb: Array[Byte]): Boolean = {
+      var ring = rings.get((cell, bid))
+      if (ring == null) {
+        ring = org.locationtech.jts.geom.prep.PreparedGeometryFactory
+          .prepare(new WKBReader().read(bWkb))
+        rings.put((cell, bid), ring)
+      }
+      var line = lns.get((cell, lid))
+      if (line == null) {
+        line = new WKBReader().read(lWkb)
+        lns.put((cell, lid), line)
+      }
+      ring.intersects(line)
+    }
+  }
 }

@@ -72,8 +72,13 @@ object Geocode {
     *
     * Semantics: a gazetteer `place_name` matches a page iff its
     * space-joined token sequence occurs in the page's whitespace-token
-    * stream (token-boundary match — "Dover" does NOT match "Dovercourt";
-    * equivalently `' '+text+' '` contains `' '+place_name+' '`).
+    * stream, where tokens are maximal `\\s+`-separated runs — tabs,
+    * newlines, and space runs all delimit (token-boundary match — "Dover"
+    * does NOT match "Dovercourt"; equivalently, after collapsing
+    * whitespace to single spaces, `' '+text+' '` contains
+    * `' '+place_name+' '`). Gazetteer names themselves are
+    * SINGLE-SPACE-separated by contract (the dimension is curated; its
+    * tokenization is a plain split on ' ').
     *
     * Shape at 100 TB: the page side tokenizes ONCE
     * (explode(array_distinct(split))) and equi-joins a BROADCAST
@@ -107,7 +112,8 @@ object Geocode {
     * of its texts' names, min-name tie-break across the union. */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
-                     keyCols: Seq[String] = Nil): DataFrame = {
+                     keyCols: Seq[String] = Nil,
+                     maxNames: Long = 10000000L): DataFrame = {
     val reserved = Set("place_name", "g_lat", "g_lon", "tok0", "multi", "g0", "g",
       "pos", "tok", "t_disc", "ngram")
     require(pages.columns.forall(c =>
@@ -116,6 +122,21 @@ object Geocode {
     require(keyCols.forall(pages.columns.contains),
       s"keyCols ${keyCols.mkString(",")} must be page columns")
     val keys = if (keyCols.nonEmpty) keyCols else pages.columns.toSeq
+    // BROADCAST CONTRACT (one agg job computes the guard count AND the
+    // multi-token length set): the gazetteer is a broadcast dimension —
+    // ~10⁷ names (≈ hundreds of MB broadcast) is the practical ceiling.
+    // Past maxNames this FAILS LOUDLY (the exactTopK posture) instead of
+    // silently OOMing executors; a 10⁸-row planetary gazetteer needs a
+    // shuffle-based first-token join (the DistributedPip pattern), not a
+    // raised bound.
+    val gzMeta = gazetteer.agg(count(lit(1)).as("n"),
+      collect_set(when(size(split(col("place_name"), " ")) > 1,
+        size(split(col("place_name"), " ")))).as("lens")).head()
+    require(gzMeta.getLong(0) <= maxNames,
+      s"gazetteerMatch broadcasts the gazetteer: ${gzMeta.getLong(0)} names > " +
+        s"maxNames=$maxNames. Raise maxNames deliberately only if the broadcast " +
+        "fits executor memory; planetary-scale gazetteers need a shuffled " +
+        "first-token join instead.")
     val gz = gazetteer
       .select(col("place_name"), col("g_lat"), col("g_lon"),
         split(col("place_name"), " ").getItem(0).as("tok0"),
@@ -131,7 +152,8 @@ object Geocode {
     // of its text (keyCols empty degrades gracefully: keys ⊇ text)
     val toks = distinctPages
       .select(keys.map(col) :+
-        explode(array_distinct(split(col("text"), " "))).as("tok0"): _*)
+        explode(array_distinct(split(col("text"), "\\s+"))).as("tok0"): _*)
+      .filter(col("tok0") =!= "") // leading whitespace splits to one "" token
     // single-token names are fully proven by the token equi-join
     val singleHits = toks.join(broadcast(gz.filter(!col("multi"))), "tok0")
       .select(keys.map(col) :+ g0: _*)
@@ -142,9 +164,7 @@ object Geocode {
     // equal token counts, so no length key is needed; `concat` (not
     // concat_ws) keeps tail positions null so short suffixes never alias
     // shorter names. No text column is ever joined back or shuffled.
-    val multiLens = gazetteer
-      .select(size(split(col("place_name"), " ")).as("m")).filter(col("m") > 1)
-      .agg(collect_set(col("m"))).head().getSeq[Int](0).sorted
+    val multiLens = gzMeta.getSeq[Int](1).sorted
     val multiHits =
       if (multiLens.isEmpty)
         singleHits.limit(0)
@@ -155,9 +175,13 @@ object Geocode {
         // merges two streams, ~2⁻⁶⁴ per duplicate-key pair)
         val wPos = org.apache.spark.sql.expressions.Window
           .partitionBy((keys.map(col) :+ col("t_disc")): _*).orderBy(col("pos"))
+        // empty tokens (leading whitespace) are filtered BEFORE the lead
+        // windows so n-grams span real tokens only; pos gaps don't matter —
+        // the window orders by pos, it doesn't difference it
         val toksPos = distinctPages
           .select(keys.map(col) ++ Seq(xxhash64(col("text")).as("t_disc"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))): _*)
+            posexplode(split(col("text"), "\\s+")).as(Seq("pos", "tok"))): _*)
+          .filter(col("tok") =!= "")
         val maxM = multiLens.max
         val withLeads = (1 until maxM).foldLeft(toksPos)((df, i) =>
           df.withColumn(s"lead_$i", lead(col("tok"), i).over(wPos)))

@@ -95,6 +95,36 @@ class GeocodeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), "expected a broadcast hash join on tok0")
   }
 
+  test("gazetteer tokenization: tabs, newlines, and space runs all delimit tokens") {
+    val gaz = Seq(("dover", 1.0, 1.0), ("table scan", 2.0, 2.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq(
+      (1L, "x\tdover\ny"),          // tab/newline boundaries around a single token
+      (2L, "a table\nscan here"),   // multi-token sequence across a newline
+      (3L, "a table  scan here"),   // double space inside the sequence
+      (4L, "  dover leads"),        // leading whitespace → empty first token
+      (5L, "dovercourt table-scan")) // substrings only: no match
+      .toDF("doc_id", "text")
+    val got = Geocode.gazetteerMatch(pages, gaz, keyCols = Seq("doc_id"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[String]("place_name"))).toMap
+    assert(got == Map(1L -> Some("dover"), 2L -> Some("table scan"),
+      3L -> Some("table scan"), 4L -> Some("dover"), 5L -> None))
+  }
+
+  test("gazetteer broadcast bound fails loudly past maxNames") {
+    val gaz = (1L to 50L).map(i => (s"name$i", 0.0, 0.0))
+      .toDF("place_name", "g_lat", "g_lon")
+    val pages = Seq((1L, "name7 here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Geocode.gazetteerMatch(pages, gaz, keyCols = Seq("doc_id"), maxNames = 10L)
+    }
+    assert(e.getMessage.contains("broadcasts the gazetteer") &&
+      e.getMessage.contains("first-token join"))
+    // at the bound itself the match still runs
+    assert(Geocode.gazetteerMatch(pages, gaz, keyCols = Seq("doc_id"), maxNames = 50L)
+      .filter(col("place_name") === "name7").count() == 1)
+  }
+
   test("gazetteer match with keyCols returns the same matches as the all-column path") {
     val gaz = Seq(("scan", 3.0, 3.0), ("table scan", 2.0, 2.0))
       .toDF("place_name", "g_lat", "g_lon")

@@ -123,6 +123,20 @@ class SpatialEdgeCaseSpec extends AnyFunSuite {
     assert(got == Set(0L, 1L))
   }
 
+  test("distributed PIP drops null-coordinate rows by explicit policy, not by accident") {
+    import spark.implicits._
+    val pts = Seq(
+      (0L, Some(44.0), Some(4.0)),   // inside
+      (1L, None: Option[Double], Some(4.0)),
+      (2L, Some(44.0), None: Option[Double]),
+      (3L, None: Option[Double], None: Option[Double]))
+      .toDF("id", "lat", "lon")
+    val got = graft.spatial.DistributedPip.containsJoin(spark, pts,
+        Seq((1L, rectWkb(0.0, 40.0, 8.0, 48.0))).toDF("boundary_id", "wkb"), level = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(0L), "null lat/lon rows are dropped per the containsJoin contract")
+  }
+
   test("crossings wrap the seam without fabricating border hits on the clip line") {
     import spark.implicits._
     val gf = new GeometryFactory()

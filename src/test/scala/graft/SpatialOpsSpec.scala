@@ -61,6 +61,30 @@ class SpatialOpsSpec extends AnyFunSuite {
     assert(got(4L).contains(1L), s"expected country crossing: ${got(4L)}")
   }
 
+  test("fact×fact crossings equal the broadcast ring index on identical inputs") {
+    val cfg = SynthWorld.Config(seed = 5L, gridP = 2, gridC = 2)
+    val bs = Flagship.boundaries(cfg)
+    val gf = new GeometryFactory()
+    val w = new WKBWriter()
+    // deterministic random segments over/around the rect world — interior,
+    // border-crossing, fully-outside, and multi-boundary spans all occur
+    val lines = (0L until 200L).map { i =>
+      val lat0 = 39.5 + math.floorMod(SynthWorld.mix(i), 9000L) / 1000.0
+      val lon0 = -0.5 + math.floorMod(SynthWorld.mix(i * 3), 9000L) / 1000.0
+      val dlat = math.floorMod(SynthWorld.mix(i * 7), 3000L) / 1000.0 - 1.5
+      val dlon = math.floorMod(SynthWorld.mix(i * 11), 3000L) / 1000.0 - 1.5
+      (i, w.write(gf.createLineString(Array(
+        new Coordinate(lon0, lat0), new Coordinate(lon0 + dlon, lat0 + dlat)))))
+    }.toDF("line_id", "wkb")
+    val zones = bs.map(b => (b.id, b.wkb)).toDF("boundary_id", "wkb")
+    val got = SpatialOps.crossingsDistributed(spark, lines, zones, level = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SpatialOps.crossings(spark, lines, bs, level = 11)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.size > 100, s"stress mix should cross often, got ${want.size}")
+  }
+
   test("R4: member closure expands relations transitively") {
     val members = Seq(
       (10L, "relation", 20L), (10L, "way", 100L),
