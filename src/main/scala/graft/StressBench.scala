@@ -248,6 +248,36 @@ object StressBench {
       graft.spatial.Raster.zonalStatsDistributed(spark, raster, zones, coverLevel = 10)
     }
 
+    // fact×fact crossings: the ZONE side grows 10× over a fixed 3k-line
+    // table — the regime where the broadcast ring index dies. Each ~0.1°
+    // rect ring covers O(perimeter) level-11 cells, so cover rows, the one
+    // cell shuffle, and the refine all grow linearly in zones
+    out += "q46_crossings_manyzones" -> measure(spark, "q46_crossings_manyzones", 1000L) { z =>
+      import spark.implicits._
+      val lines = spark.range(3000).mapPartitions { it =>
+        val gf = new org.locationtech.jts.geom.GeometryFactory()
+        val w = new org.locationtech.jts.io.WKBWriter()
+        it.map { i =>
+          val y = 40.0 + math.floorMod(graft.synth.SynthWorld.mix(i * 7), 7900L) / 1000.0
+          val x0 = math.floorMod(graft.synth.SynthWorld.mix(i * 3), 7900L) / 1000.0
+          (i, w.write(gf.createLineString(Array(
+            new org.locationtech.jts.geom.Coordinate(x0, y),
+            new org.locationtech.jts.geom.Coordinate(x0 + 0.3, y)))))
+        }
+      }.toDF("line_id", "wkb")
+      val zones = spark.range(z).mapPartitions { it =>
+        val gf = new org.locationtech.jts.geom.GeometryFactory()
+        val w = new org.locationtech.jts.io.WKBWriter()
+        it.map { i =>
+          val x0 = math.floorMod(graft.synth.SynthWorld.mix(i), 790L) / 100.0
+          val y0 = 40.0 + math.floorMod(graft.synth.SynthWorld.mix(i * 13), 790L) / 100.0
+          (i, w.write(gf.toGeometry(
+            new org.locationtech.jts.geom.Envelope(x0, x0 + 0.1, y0, y0 + 0.1))))
+        }
+      }.toDF("boundary_id", "wkb")
+      graft.spatial.SpatialOps.crossingsDistributed(spark, lines, zones, level = 11)
+    }
+
     out += "q38_cc" -> measure(spark, "q38_cc", 50000L)(n =>
       graft.spatial.Raster.connectedComponents(spark, clusteredCells(spark, n), gridN = 1L << 20))
 
