@@ -107,6 +107,27 @@ object SparkEntry {
                                  .select(col("doc_id"), col("place_name"),
                                    col("g_lat"), col("g_lon"))
                              }),
+    "q47_gazetteer_distributed" -> ((s, d) => {
+                               // q43's semantics through the FACT×FACT
+                               // gazetteer path (broadcastDim = false): the
+                               // first-token and n-gram verify joins run as
+                               // shuffle joins — the planetary-gazetteer
+                               // shape; same gazetteer, same oracle SQL
+                               import s.implicits._
+                               val gaz = Seq(
+                                 ("spark", 51.5, -0.12), ("table scan", 48.85, 2.35),
+                                 ("merge fast", 40.71, -74.0), ("dup", 35.68, 139.69),
+                                 ("tab", 1.0, 1.0), ("spark nowhere", 2.0, 2.0),
+                                 ("zzz", 3.0, 3.0), ("order sort table", 10.0, 20.0))
+                                 .toDF("place_name", "g_lat", "g_lon")
+                               graft.web.Geocode.gazetteerMatch(
+                                   Relational.t(s, d, "documents")
+                                     .select(col("doc_id"), col("text")),
+                                   gaz, keepUnmatched = false,
+                                   keyCols = Seq("doc_id"), broadcastDim = false)
+                                 .select(col("doc_id"), col("place_name"),
+                                   col("g_lat"), col("g_lon"))
+                             }),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
     "q32_tile_agg"       -> ((s, d) => {
                                // native codegen cell_of over deterministic
@@ -495,6 +516,25 @@ object SparkEntry {
     // tokenizer by collapsing whitespace runs to single spaces first;
     // canonically-first (min place_name) entry wins per page
     "q43_gazetteer_geoparse" ->
+      """WITH gaz(place_name, g_lat, g_lon) AS (
+           VALUES ('spark', 51.5, -0.12), ('table scan', 48.85, 2.35),
+                  ('merge fast', 40.71, -74.0), ('dup', 35.68, 139.69),
+                  ('tab', 1.0, 1.0), ('spark nowhere', 2.0, 2.0), ('zzz', 3.0, 3.0),
+                  ('order sort table', 10.0, 20.0)
+         ), m AS (
+           SELECT d.doc_id, g.place_name, g.g_lat, g.g_lon
+           FROM documents d JOIN gaz g
+             ON contains(' ' || regexp_replace(d.text, '\s+', ' ', 'g') || ' ',
+                         ' ' || g.place_name || ' ')
+         )
+         SELECT doc_id, place_name,
+                CAST(g_lat AS DOUBLE) AS g_lat, CAST(g_lon AS DOUBLE) AS g_lon
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY place_name) AS rn FROM m)
+         WHERE rn = 1""",
+    // q47 = the q43 oracle verbatim: same semantics, the Spark side routes
+    // through the shuffled (broadcastDim=false) gazetteer joins
+    "q47_gazetteer_distributed" ->
       """WITH gaz(place_name, g_lat, g_lon) AS (
            VALUES ('spark', 51.5, -0.12), ('table scan', 48.85, 2.35),
                   ('merge fast', 40.71, -74.0), ('dup', 35.68, 139.69),

@@ -109,11 +109,23 @@ object Geocode {
     * tokenization and the n-gram window partitions per distinct text (a
     * 64-bit text discriminator joins the partition key), so streams never
     * interleave; a key carrying several distinct texts matches the UNION
-    * of its texts' names, min-name tie-break across the union. */
+    * of its texts' names, min-name tie-break across the union.
+    *
+    * `broadcastDim`: true (default) broadcasts the gazetteer — the fast
+    * plan up to [[maxNames]]. false is the FACT×FACT path for planetary
+    * gazetteers (10⁸⁺ names): the single-token equi-join and the m-gram
+    * verify join run as shuffle joins on (token / n-gram string) instead —
+    * same joins, same keys, no broadcast and no name-count bound. Hot
+    * first tokens (a name starting with a stopword meeting a stopword-heavy
+    * corpus) are a skew surface on that key; AQE skew-join splitting
+    * handles it, and [[graft.ops.Skew.saltedJoin]] composes if an exchange
+    * is reused. The multi-token LENGTH set still collects driver-side —
+    * it is ≤ the distinct name lengths (tens), never the names. */
   def gazetteerMatch(pages: DataFrame, gazetteer: DataFrame,
                      keepUnmatched: Boolean = true,
                      keyCols: Seq[String] = Nil,
-                     maxNames: Long = 10000000L): DataFrame = {
+                     maxNames: Long = 10000000L,
+                     broadcastDim: Boolean = true): DataFrame = {
     val reserved = Set("place_name", "g_lat", "g_lon", "tok0", "multi", "g0", "g",
       "pos", "tok", "t_disc", "ngram")
     require(pages.columns.forall(c =>
@@ -132,11 +144,19 @@ object Geocode {
     val gzMeta = gazetteer.agg(count(lit(1)).as("n"),
       collect_set(when(size(split(col("place_name"), " ")) > 1,
         size(split(col("place_name"), " ")))).as("lens")).head()
-    require(gzMeta.getLong(0) <= maxNames,
+    require(!broadcastDim || gzMeta.getLong(0) <= maxNames,
       s"gazetteerMatch broadcasts the gazetteer: ${gzMeta.getLong(0)} names > " +
         s"maxNames=$maxNames. Raise maxNames deliberately only if the broadcast " +
-        "fits executor memory; planetary-scale gazetteers need a shuffled " +
-        "first-token join instead.")
+        "fits executor memory, or pass broadcastDim=false for the shuffled " +
+        "first-token join (the planetary-gazetteer path).")
+    // dim-side join wrapper: the join-strategy hint is the ONLY plan
+    // difference between the two paths. shuffle_hash (not just dropping the
+    // broadcast hint): a small test gazetteer would still auto-broadcast
+    // from stats, silently testing the wrong plan — the hint pins the
+    // fact×fact shape at every size, and it is what accurate stats would
+    // pick past broadcast size anyway
+    def dim(df: DataFrame): DataFrame =
+      if (broadcastDim) broadcast(df) else df.hint("shuffle_hash")
     val gz = gazetteer
       .select(col("place_name"), col("g_lat"), col("g_lon"),
         split(col("place_name"), " ").getItem(0).as("tok0"),
@@ -155,7 +175,7 @@ object Geocode {
         explode(array_distinct(split(col("text"), "\\s+"))).as("tok0"): _*)
       .filter(col("tok0") =!= "") // leading whitespace splits to one "" token
     // single-token names are fully proven by the token equi-join
-    val singleHits = toks.join(broadcast(gz.filter(!col("multi"))), "tok0")
+    val singleHits = toks.join(dim(gz.filter(!col("multi"))), "tok0")
       .select(keys.map(col) :+ g0: _*)
     // multi-token names verify ON THE TOKEN STREAM: position-ordered
     // tokens + window leads build every m-gram present in the gazetteer
@@ -190,7 +210,7 @@ object Geocode {
             acc ++ Seq(lit(" "), col(s"lead_$i"))): _*)
         val ngrams = withLeads.select(keys.map(col) :+
           explode(array(multiLens.map(m => ngram(m)): _*)).as("ngram"): _*)
-        ngrams.join(broadcast(gz.filter(col("multi"))),
+        ngrams.join(dim(gz.filter(col("multi"))),
             col("ngram") === col("place_name"))
           .select(keys.map(col) :+ g0: _*)
       }

@@ -125,6 +125,35 @@ class GeocodeSpec extends AnyFunSuite {
       .filter(col("place_name") === "name7").count() == 1)
   }
 
+  test("distributed (broadcastDim=false) gazetteer equals the broadcast path, no name bound") {
+    val gaz = Seq(("tab", 1.0, 1.0), ("table scan", 2.0, 2.0), ("scan", 3.0, 3.0),
+      ("order sort table", 4.0, 4.0)).toDF("place_name", "g_lat", "g_lon")
+    // deterministic pages over the gazetteer vocabulary ± noise tokens
+    val vocab = Array("tab", "table", "scan", "order", "sort", "x", "y", "tables")
+    val pages = (0L until 300L).map { i =>
+      val toks = (0 until 8).map(j =>
+        vocab(math.floorMod(SynthWorld.mix(i * 31 + j), vocab.length.toLong).toInt))
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(bd: Boolean) = Geocode.gazetteerMatch(pages, gaz,
+        keyCols = Seq("doc_id"), broadcastDim = bd)
+      .collect().map(r => (r.getLong(0), Option(r.getAs[String]("place_name")))).toSet
+    assert(run(false) == run(true))
+    // the fact×fact MATCH CORE (keepUnmatched=false isolates it from the
+    // page-side null-extension join, which may legitimately broadcast the
+    // aggregated match table) must not broadcast the gazetteer side; and
+    // maxNames must not bind (a 1-name bound still runs)
+    val distPlan = Geocode.gazetteerMatch(pages, gaz, keepUnmatched = false,
+      keyCols = Seq("doc_id"), broadcastDim = false, maxNames = 1L)
+    assert(distPlan.count() > 0L) // guard skipped on the distributed path
+    val planStr = distPlan.queryExecution.executedPlan.toString
+    assert(!planStr.contains("BroadcastHashJoin") &&
+      !planStr.contains("BroadcastNestedLoopJoin"),
+      s"gazetteer side must ride shuffle joins in the fact×fact path:\n$planStr")
+    assert(planStr.contains("ShuffledHashJoin"),
+      s"expected the pinned shuffle_hash strategy on the gazetteer joins:\n$planStr")
+  }
+
   test("gazetteer match with keyCols returns the same matches as the all-column path") {
     val gaz = Seq(("scan", 3.0, 3.0), ("table scan", 2.0, 2.0))
       .toDF("place_name", "g_lat", "g_lon")
