@@ -128,6 +128,22 @@ object SparkEntry {
                                  .select(col("doc_id"), col("place_name"),
                                    col("g_lat"), col("g_lon"))
                              }),
+    "q48_cell_range_scan" -> ((s, d) => {
+                               // spatial-prefix scan: tile the points at
+                               // level 14 and keep only descendants of one
+                               // level-4 ancestor via the contiguous
+                               // BETWEEN range (the pushdown-able form of
+                               // cell_parent(cell,4)=anc); the oracle
+                               // rebuilds the level-14 interleave in SQL
+                               // bit math and applies the same literal range
+                               graft.functions.GeoFunctions.register(s)
+                               synthPoints(s, d)
+                                 .withColumn("cell", graft.functions.GeoFunctions
+                                   .cell_of(col("lat"), col("lon"), 14))
+                                 .filter(graft.functions.GeoFunctions
+                                   .under_cell(col("cell"), scanAnc, 14))
+                                 .groupBy("cell").agg(count(lit(1)).as("n"))
+                             }),
     "q31_sessionize"     -> ((s, d) => Relational.sessionize(s, d)),
     "q32_tile_agg"       -> ((s, d) => {
                                // native codegen cell_of over deterministic
@@ -327,6 +343,33 @@ object SparkEntry {
       col("c_custkey").as("point_id"),
       (lit(40.0) + (col("c_custkey") * 13 % 7919) / 1000.0 + 0.0005).as("lat"),
       ((col("c_custkey") * 31 % 7919) / 1000.0 + 0.0005).as("lon"))
+
+  /** The level-4 ancestor cell q48 scans under, and its contiguous
+    * level-14 descendant range (computed once; the literals appear in both
+    * the Spark predicate and the oracle SQL). */
+  private val scanAnc: Long = graft.cells.CellIndex.cellOf(44.0, 4.0, 4)
+
+  /** q48 oracle: level-14 Z-order interleave in portable SQL bit math (the
+    * q32 engine-independent codec check, two levels deeper) + the same
+    * literal BETWEEN range the Spark side pushes down. */
+  private def cellRangeScanSql: String = {
+    val z = (0 until 14).map(k =>
+      s"(((i >> $k) & 1) << ${2 * k}) + (((j >> $k) & 1) << ${2 * k + 1})").mkString(" + ")
+    val lo = graft.cells.CellIndex.rangeMinAt(scanAnc, 14)
+    val hi = graft.cells.CellIndex.rangeMaxAt(scanAnc, 14)
+    s"""WITH pts AS (
+         SELECT 40.0 + ((c_custkey * 13) % 7919) / 1000.0 + 0.0005 AS lat,
+                ((c_custkey * 31) % 7919) / 1000.0 + 0.0005 AS lon
+         FROM customer
+       ), ij AS (
+         SELECT CAST(FLOOR((lon + 180) / 360 * 16384) AS BIGINT) AS i,
+                CAST(FLOOR((lat + 90) / 180 * 16384) AS BIGINT) AS j
+         FROM pts
+       ), cells AS (
+         SELECT (($z) << 35) | 14 AS cell FROM ij
+       ) SELECT cell, count(*) AS n FROM cells
+         WHERE cell BETWEEN $lo AND $hi GROUP BY 1"""
+  }
 
   /** Z-order interleave at level 8, spelled out in portable SQL bit math —
     * mirrors CellIndex.fromIJ exactly. */
@@ -567,6 +610,7 @@ object SparkEntry {
                 CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
          FROM sess GROUP BY user_id, session_seq""",
     "q32_tile_agg" -> zorderSql,
+    "q48_cell_range_scan" -> cellRangeScanSql,
     "q33_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS total

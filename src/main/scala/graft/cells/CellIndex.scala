@@ -92,13 +92,26 @@ object CellIndex {
   }
 
   /** Smallest id of any descendant at MaxLevel (inclusive range start). */
-  def rangeMin(cell: Long): Long =
-    mk(zBits(cell) << (2 * (MaxLevel - level(cell))), MaxLevel)
+  def rangeMin(cell: Long): Long = rangeMinAt(cell, MaxLevel)
 
   /** Largest id of any descendant at MaxLevel (inclusive range end). */
-  def rangeMax(cell: Long): Long = {
-    val d = 2 * (MaxLevel - level(cell))
-    mk((zBits(cell) << d) | ((1L << d) - 1), MaxLevel)
+  def rangeMax(cell: Long): Long = rangeMaxAt(cell, MaxLevel)
+
+  /** Smallest/largest descendant id at EXACTLY level `l` (≥ the cell's own
+    * level) — the contiguous pruning interval for a fact table keyed at a
+    * fixed cell level: `factCell BETWEEN rangeMinAt(anc, L) AND
+    * rangeMaxAt(anc, L)` ⟺ `parentAt(factCell, level(anc)) == anc`, and
+    * the BETWEEN form pushes to parquet as two range filters (row-group
+    * min/max pruning), which the parentAt form cannot. */
+  def rangeMinAt(cell: Long, l: Int): Long = {
+    require(l >= level(cell), s"range level $l < cell level ${level(cell)}")
+    mk(zBits(cell) << (2 * (l - level(cell))), l)
+  }
+
+  def rangeMaxAt(cell: Long, l: Int): Long = {
+    require(l >= level(cell), s"range level $l < cell level ${level(cell)}")
+    val d = 2 * (l - level(cell))
+    mk((zBits(cell) << d) | ((1L << d) - 1), l)
   }
 
   /** True if `anc` is `cell` or an ancestor of it. */

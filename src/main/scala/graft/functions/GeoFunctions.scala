@@ -151,6 +151,18 @@ object GeoFunctions {
   def min_cell_extent_m(lat: Column, level: Int): Column =
     call_function("min_cell_extent_m", lat, lit(level))
 
+  /** Spatial-prefix scan predicate: `cellCol` (a fact table's cell key at
+    * fixed level `factLevel`) lies under ancestor `anc`. Compiled to a
+    * literal BETWEEN — two plain range filters that reach the parquet scan
+    * as PushedFilters (row-group min/max pruning; a cell-sorted or
+    * cell-bucketed layout skips everything outside the ancestor), where
+    * the equivalent `cell_parent(cell, L) = anc` form is an unpushable
+    * function call. The interval is exact: descendants at one level are
+    * one contiguous id range (CellIndex encoding invariant). */
+  def under_cell(cellCol: Column, anc: Long, factLevel: Int): Column =
+    cellCol.between(lit(CellIndex.rangeMinAt(anc, factLevel)),
+      lit(CellIndex.rangeMaxAt(anc, factLevel)))
+
   /** Register the geo expressions for spark.sql / call_function. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

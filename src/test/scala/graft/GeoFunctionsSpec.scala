@@ -75,6 +75,34 @@ class GeoFunctionsSpec extends AnyFunSuite {
       plan.contains("min_cell_extent_m"), plan)
   }
 
+  test("under_cell: exact range semantics, parquet pushdown, partition pruning") {
+    val anc = CellIndex.cellOf(44.0, 4.0, 4)
+    val pts = spark.range(4000)
+      .withColumn("lat", (col("id") % 1700).cast("double") / 10 - 85.0)
+      .withColumn("lon", ((col("id") * 7) % 3500).cast("double") / 10 - 175.0)
+      .withColumn("cell", GeoFunctions.cell_of(col("lat"), col("lon"), 14))
+      .withColumn("p", GeoFunctions.cell_parent(col("cell"), 6))
+    val dir = java.nio.file.Files.createTempDirectory("graft-cellscan").toString
+    pts.write.mode("overwrite").partitionBy("p").parquet(dir)
+    // the deployment pattern: prune the coarse partition prefix AND push
+    // the fine range into the scan — both from the same ancestor cell
+    val scan = spark.read.parquet(dir)
+      .filter(GeoFunctions.under_cell(col("p"), anc, 6) &&
+        GeoFunctions.under_cell(col("cell"), anc, 14))
+    val got = scan.select("id").collect().map(_.getLong(0)).toSet
+    val want = pts.collect()
+      .filter(r => CellIndex.parentAt(r.getAs[Long]("cell"), 4) == anc)
+      .map(_.getAs[Long]("id")).toSet
+    assert(got == want, s"range ≠ parentAt: miss=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty && want.size < 4000)
+    val ex = scan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(ex.contains("GreaterThanOrEqual(cell") && ex.contains("LessThanOrEqual(cell"),
+      s"cell range must reach PushedFilters:\n$ex")
+    assert(ex.matches("(?s).*PartitionFilters: \\[.*p#.*\\].*"),
+      s"coarse prefix must prune partitions:\n$ex")
+  }
+
   test("functions are callable from SQL") {
     val got = spark.sql(
       "SELECT cell_of(51.5d, -0.1d, 12) AS c, cell_parent(cell_of(51.5d, -0.1d, 12), 4) AS p, " +
