@@ -132,13 +132,17 @@ object BotwCli {
           s"agent at: ${end.whereIs("agent-0")}")
       }
       // reference's main reduction entry point (builder.mli:136): reduce to
-      // a fixpoint under two priority classes — leave-rules preempt
-      // enter/move, so the reduction drains agents outward and terminates
-      // instead of cycling to the bound
+      // a fixpoint under two priority classes. The rewrite rule set is the
+      // DRAINING subset (leave rules over move) — including the enter rules
+      // could never terminate, since each is the inverse of a
+      // higher-priority leave rule (enter_street would re-enable
+      // leave_street every step and the reduction would ping-pong to the
+      // bound); with leaves preferred the agent drains outward to its
+      // boundary and no class matches: a genuine fixpoint
       for (m <- flagArg("-rewrite")) timed("rewrite") {
         val prio = Seq(
           brsRules.filter { case (n, _) => n.startsWith("leave") },
-          brsRules.filterNot { case (n, _) => n.startsWith("leave") })
+          brsRules.filter { case (n, _) => n.startsWith("move") })
         val (end, taken, trace) = Reactions.rewritePrioritized(state, prio, maxSteps = m.toInt)
         println(s"[botw] rewrite: $taken applications" +
           (if (taken < m.toInt) " (fixpoint)" else " (bound)") +

@@ -518,7 +518,7 @@ object Reactions {
   private val CollapseEvery = 4
 
   /** B7 fix: apply `rule` until no occurrence (bounded;
-    * builder.mli:124-136). Every 16 steps the stacked point-update
+    * builder.mli:124-136). Every [[CollapseEvery]] steps the stacked point-update
     * projections are collapsed by materializing the plan — without this the
     * plan nests one `when` per step and analysis cost grows unboundedly.
     * Returns (state, stepsApplied). */
@@ -585,7 +585,7 @@ object Reactions {
     * trace); the reference returns the (state, steps) pair.
     *
     * Cache discipline is [[fix]]'s: deferred frees one application late,
-    * plan collapse every 16 steps. */
+    * plan collapse every [[CollapseEvery]] steps. */
   def rewritePrioritized(s0: BigraphState,
                          priorities: Seq[Seq[(String, BigraphState => DataFrame)]],
                          maxSteps: Int = 1000): (BigraphState, Int, Seq[String]) = {

@@ -136,9 +136,12 @@ object Ann {
     *
     * Spherical k-means over a deterministic sample trains `c` unit
     * centroids (tiny, broadcast); every vector is assigned to its argmax-dot
-    * centroid; a query probes its `nprobe` nearest centroids. Candidates
-    * flow as ID PAIRS through one shuffle on cluster id; embeddings join
-    * back for the exact cosine re-rank.
+    * centroid; a query probes its `nprobe` nearest centroids. The
+    * assignment/probe rows CARRY their (embedding, norm), so candidates are
+    * born co-located by cluster with payloads attached — the re-rank is the
+    * one O(n·nprobe·dim) exchange on cluster id plus an exchange-free
+    * per-(vector, cluster) top-k prune, never a per-candidate vector join
+    * (the id-pair near-dup path, [[cosinePairsOf]], still ships bare pairs).
     *
     * c/nprobe default to 0 = AUTO: derived from the corpus size by
     * [[ivfParams]] (the FAISS posture — parameters come from the data, like

@@ -144,29 +144,18 @@ object DistributedPip {
 
   /** The exact-refine predicate as a deterministic UDF so arbitrary payload
     * columns survive the join without a typed encoder. The prepared-
-    * geometry cache is a per-task-deserialization LRU keyed by
-    * (cell, zone) — the clipped bytes differ per cell — and BOUNDED at
-    * [[CacheCap]] entries (prepared clipped geometries are cheap to rebuild
-    * on a miss; an unbounded map risked executor pressure on skew-split
-    * hot cells). */
-  private val CacheCap = 512
+    * geometry cache is the shared bounded [[GeomLru]] keyed by
+    * (cell, zone) — the clipped bytes differ per cell. */
+  private[spatial] val CacheCap = 512
+
+  private[spatial] def preparedLoader: Array[Byte] => PreparedGeometry =
+    wkb => PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
 
   private class RefineHelper extends Serializable {
     @transient private lazy val gf = new GeometryFactory()
-    @transient private lazy val cache =
-      new java.util.LinkedHashMap[(Long, Long), PreparedGeometry](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Long, Long), PreparedGeometry]): Boolean =
-          size() > CacheCap
-      }
-    def contains(cell: Long, bid: Long, wkb: Array[Byte], lat: Double, lon: Double): Boolean = {
-      var prep = cache.get((cell, bid))
-      if (prep == null) {
-        prep = PreparedGeometryFactory.prepare(new WKBReader().read(wkb))
-        cache.put((cell, bid), prep)
-      }
-      prep.contains(gf.createPoint(new Coordinate(lon, lat)))
-    }
+    private val cache = new GeomLru[PreparedGeometry](CacheCap, preparedLoader)
+    def contains(cell: Long, bid: Long, wkb: Array[Byte], lat: Double, lon: Double): Boolean =
+      cache.get((cell, bid), wkb).contains(gf.createPoint(new Coordinate(lon, lat)))
   }
 
   private def pipRefine(cell: Column, bid: Column, full: Column,

@@ -154,39 +154,17 @@ object SpatialOps {
     if (clipped.isEmpty) geom else clipped
   }
 
-  /** Per-task refine kernel with bounded LRUs of the deserialized clips —
-    * the join co-locates by cell, so each task sees few distinct
-    * (cell, id) pairs per side (the DistributedPip.RefineHelper posture). */
-  private final val CrossCacheCap = 512
+  /** Per-task refine kernel — two shared bounded [[GeomLru]]s of the
+    * deserialized clips (the join co-locates by cell, so each task sees
+    * few distinct (cell, id) pairs per side). */
   private class CrossRefine extends Serializable {
-    @transient private lazy val rings =
-      new java.util.LinkedHashMap[(Long, Long),
-          org.locationtech.jts.geom.prep.PreparedGeometry](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Long, Long),
-              org.locationtech.jts.geom.prep.PreparedGeometry]): Boolean =
-          size() > CrossCacheCap
-      }
-    @transient private lazy val lns =
-      new java.util.LinkedHashMap[(Long, Long), Geometry](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Long, Long), Geometry]): Boolean =
-          size() > CrossCacheCap
-      }
+    private val rings =
+      new GeomLru[org.locationtech.jts.geom.prep.PreparedGeometry](
+        DistributedPip.CacheCap, DistributedPip.preparedLoader)
+    private val lns =
+      new GeomLru[Geometry](DistributedPip.CacheCap, wkb => new WKBReader().read(wkb))
     def crosses(cell: Long, bid: Long, bWkb: Array[Byte],
-                lid: Long, lWkb: Array[Byte]): Boolean = {
-      var ring = rings.get((cell, bid))
-      if (ring == null) {
-        ring = org.locationtech.jts.geom.prep.PreparedGeometryFactory
-          .prepare(new WKBReader().read(bWkb))
-        rings.put((cell, bid), ring)
-      }
-      var line = lns.get((cell, lid))
-      if (line == null) {
-        line = new WKBReader().read(lWkb)
-        lns.put((cell, lid), line)
-      }
-      ring.intersects(line)
-    }
+                lid: Long, lWkb: Array[Byte]): Boolean =
+      rings.get((cell, bid), bWkb).intersects(lns.get((cell, lid), lWkb))
   }
 }
