@@ -79,6 +79,30 @@ class CellIndexSpec extends AnyFunSuite {
     assert(cover.exists(c => CellIndex.level(c) < 12)) // compacted interior
   }
 
+  test("rangeMinAt/rangeMaxAt: exact fixed-level interval ⟺ ancestry") {
+    for (_ <- 1 to 300) {
+      val la = rng.nextInt(10)
+      val l = la + 1 + rng.nextInt(CellIndex.MaxLevel - la - 1)
+      val anc = CellIndex.cellOf(rng.nextDouble() * 179 - 89.5,
+        rng.nextDouble() * 359 - 179.5, la)
+      // random level-l descendant: descend via random children
+      var d = anc
+      while (CellIndex.level(d) < l)
+        d = CellIndex.children(d)(rng.nextInt(4))
+      val (lo, hi) = (CellIndex.rangeMinAt(anc, l), CellIndex.rangeMaxAt(anc, l))
+      assert(d >= lo && d <= hi, s"descendant $d outside [$lo,$hi]")
+      // any level-l cell inside the interval IS a descendant; any outside
+      // is not — sample uniformly over the level instead of trusting one side
+      val probe = CellIndex.cellOf(rng.nextDouble() * 179 - 89.5,
+        rng.nextDouble() * 359 - 179.5, l)
+      assert((probe >= lo && probe <= hi) ==
+        (CellIndex.parentAt(probe, la) == anc),
+        s"interval/ancestry disagree for probe $probe under $anc")
+      // degenerate: the interval at the cell's own level is the cell itself
+      assert(CellIndex.rangeMinAt(anc, la) == anc && CellIndex.rangeMaxAt(anc, la) == anc)
+    }
+  }
+
   test("haversine sanity") {
     val d = CellIndex.haversineM(51.5007, -0.1246, 48.8584, 2.2945) // London→Paris
     assert(d > 330000 && d < 350000)
