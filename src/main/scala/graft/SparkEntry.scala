@@ -58,6 +58,7 @@ object SparkEntry {
                                        col("de_hits").cast("long").as("de_hits"),
                                        col("fr_hits").cast("long").as("fr_hits"))),
     "q24_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
+    "q49_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
     "q25_jaccard_neardup" -> ((s, d) => graft.text.NearDup.jaccardPairs(s, d, thresholdPct = 80)),
     "q26_minhash_lsh"    -> ((s, d) => graft.text.NearDup.minhashLsh(s, d, thresholdPct = 80)),
     "q40_ngram_jaccard"  -> ((s, d) => graft.text.NearDup.ngramJaccardPairs(s, d, n = 3, thresholdPct = 80)),
@@ -499,6 +500,21 @@ object SparkEntry {
          FROM documents""",
     // q24_fingerprint: xxhash64-based rolling hash has no DuckDB equivalent —
     // rows-only check (SURVEY.md §2.7 extension functions).
+    // keep/reason from the same integer-math signals as q21; CASE order =
+    // the Spark when-chain order (first failing rule wins)
+    "q49_quality_filter" ->
+      """SELECT doc_id, reason IS NULL AS keep, reason FROM (
+           SELECT doc_id,
+                  CASE WHEN len(string_split(text, ' ')) < 30 THEN 'too_short'
+                       WHEN FLOOR(n_chars * 100 / len(string_split(text, ' '))) < 300
+                         THEN 'short_tokens'
+                       WHEN FLOOR(n_chars * 100 / len(string_split(text, ' '))) > 900
+                         THEN 'long_tokens'
+                       WHEN FLOOR(len(list_filter(string_split(text, ' '), x -> x = 'the'))
+                                  * 10000 / len(string_split(text, ' '))) < 100
+                         THEN 'low_stopword'
+                  END AS reason
+           FROM documents)""",
     "q25_jaccard_neardup" ->
       """WITH ts AS (
            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token

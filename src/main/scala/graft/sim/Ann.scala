@@ -152,29 +152,62 @@ object Ann {
               maxTrainSamples: Long = 100000L): DataFrame = {
     val p = ivfPartsOf(spark, emb(spark, dir).select(col("vec_id"), col("embedding")),
       c, nprobe, iters, maxTrainSamples, payload = true)
-    // FUSED re-rank: the assign/probe flatMaps EMIT the embedding + norm
-    // alongside the cluster key, so the candidate pairs are born co-located
-    // by cluster with their payloads already attached — the whole re-rank
-    // is ONE exchange of n·(nprobe+1) payload rows on cluster id. The
-    // round-4 shape shipped bare id pairs and joined the vectors back per
-    // pair; at harness sizes that compiled to two BROADCAST probes (50k
-    // embeddings ≈ 26 MB) and measures within noise of this shape (49 vs
-    // 51 s at 50k on the same host — the round-4 verdict's 71× wall was
-    // environment inflation, see BENCH/q38_gap.md). The fused shape is
-    // kept because it has no broadcast cliff: past broadcastable corpus
-    // size the pairs shape degrades to shuffling the nprobe·n^1.5
-    // candidate stream through two vector joins, while this path's
-    // exchanges stay O(n·nprobe·dim) at every n.
-    val scored = p.probes.join(p.assign, "cluster")
-      .filter(col("vec_id") =!= col("cand_id"))
+    rerank(p.probes, p.assign, k, excludeSelf = true)
+  }
+
+  /** IVF ANN SERVING shape: rank each row of `queries` (vec_id, embedding)
+    * against an independent `corpus` (vec_id, embedding) — the
+    * query-batch-vs-index search a retrieval pipeline runs (self-search
+    * [[ivfTopK]] is the dedup/audit shape). Centroids train on the CORPUS
+    * sample, corpus rows assign to their argmax centroid, and each query
+    * probes its `nprobe` nearest centroids; the fused payload re-rank is
+    * shared with ivfTopK. The query side is consumed ONCE (its probe
+    * flatMap) — only the corpus pays the slot-cached multi-evaluation.
+    * Output (vec_id = query id, rank, neighbor_id = corpus id, cos_sim);
+    * self-exclusion is OFF — the id spaces are unrelated tables. */
+  def ivfSearch(spark: SparkSession, queries: DataFrame, corpus: DataFrame,
+                k: Int = 3, c: Int = 0, nprobe: Int = 0, iters: Int = 5,
+                maxTrainSamples: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val p = ivfPartsOf(spark, corpus.select(col("vec_id"), col("embedding")),
+      c, nprobe, iters, maxTrainSamples, payload = true)
+    val qRows = withNorm(queries.select(col("vec_id"), col("embedding")))
+      .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("norm")))
+    val qProbes = qRows.select(col("vec_id"), col("unit"), col("embedding"), col("norm"))
+      .as[(Long, Seq[Double], Array[Float], Double)]
+      .flatMap { case (id, u, e, nm) =>
+        topClusters(u.toArray, p.centroids.value, p.nprobe).map(cl => (id, cl, e, nm))
+      }.toDF("vec_id", "cluster", "qv", "qn")
+    rerank(qProbes, p.assign, k, excludeSelf = false)
+  }
+
+  /** FUSED re-rank shared by [[ivfTopK]]/[[ivfSearch]]: the assign/probe
+    * flatMaps EMIT the embedding + norm alongside the cluster key, so the
+    * candidate pairs are born co-located by cluster with their payloads
+    * already attached — the whole re-rank is ONE exchange of payload rows
+    * on cluster id. The round-4 shape shipped bare id pairs and joined the
+    * vectors back per pair; at harness sizes that compiled to two
+    * BROADCAST probes (50k embeddings ≈ 26 MB) and measures within noise
+    * of this shape (49 vs 51 s at 50k on the same host — the round-4
+    * verdict's 71× wall was environment inflation, see BENCH/q38_gap.md).
+    * The fused shape is kept because it has no broadcast cliff: past
+    * broadcastable corpus size the pairs shape degrades to shuffling the
+    * nprobe·n^1.5 candidate stream through two vector joins, while this
+    * path's exchanges stay O(n·nprobe·dim) at every n.
+    *
+    * The per-(vector, cluster) top-k REUSES the join's hash(cluster)
+    * output partitioning (ClusteredDistribution on a key superset — no
+    * exchange), cutting the rows entering the global ranking from
+    * ~nprobe·n/c per vector to ≤ nprobe·k; candidates are disjoint across
+    * a vector's probed clusters, so local-then-global top-k is exact, and
+    * both stages share the (cos desc, cand_id asc) tie-break. */
+  private def rerank(probes: DataFrame, assign: DataFrame, k: Int,
+                     excludeSelf: Boolean): DataFrame = {
+    val joined = probes.join(assign, "cluster")
+    val scored = (if (excludeSelf) joined.filter(col("vec_id") =!= col("cand_id"))
+                  else joined)
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
       .select(col("vec_id"), col("cluster"), col("cand_id"), col("cos_sim"))
-    // per-(vector, cluster) top-k REUSES the join's hash(cluster) output
-    // partitioning (ClusteredDistribution on a key superset — no exchange),
-    // cutting the rows entering the global ranking from ~nprobe·n/c per
-    // vector to ≤ nprobe·k; candidates are disjoint across a vector's
-    // probed clusters, so local-then-global top-k is exact, and both
-    // stages share the (cos desc, cand_id asc) tie-break
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"), col("cluster"))
       .orderBy(col("cos_sim").desc, col("cand_id").asc)
@@ -215,11 +248,15 @@ object Ann {
   }
 
   /** The IVF building blocks: normed corpus rows, (cand_id, cluster)
-    * assignment, (vec_id, cluster) probes. With `payload = true` the
-    * assignment/probe rows also carry (embedding, norm) as (cv, cn)/(qv,
-    * qn), letting [[ivfTopK]] re-rank off the one cluster join with no
-    * per-candidate vector join at all. */
-  private case class IvfParts(rows: DataFrame, assign: DataFrame, probes: DataFrame)
+    * assignment, (vec_id, cluster) probes, plus the trained centroid
+    * broadcast and effective nprobe (so [[ivfSearch]] can probe an
+    * INDEPENDENT query set against the corpus index). With `payload =
+    * true` the assignment/probe rows also carry (embedding, norm) as
+    * (cv, cn)/(qv, qn), letting the re-rank run off the one cluster join
+    * with no per-candidate vector join at all. */
+  private case class IvfParts(rows: DataFrame, assign: DataFrame, probes: DataFrame,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]],
+      nprobe: Int)
 
   /** Single-slot displaced cache for the normed rows frame — it is
     * consumed ~6× per IVF call (count guard, k-means sample, assignment,
@@ -315,7 +352,7 @@ object Ann {
         .flatMap { case (id, u) =>
           topClusters(u.toArray, bcFinal.value, nprobeEff).map(cl => (id, cl))
         }.toDF("vec_id", "cluster")
-    IvfParts(rows, assign, probes)
+    IvfParts(rows, assign, probes, bcFinal, nprobeEff)
   }
 
   private val lastCentroids =

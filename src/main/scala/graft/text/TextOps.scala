@@ -38,6 +38,32 @@ object TextOps {
       floor(theCount * lit(10000L) / toks).as("stopword_bp"))
   }
 
+  /** Composed document-quality FILTER (the C4/Gopher-style rule chain a
+    * training pipeline runs before dedup): every doc gets keep/drop plus
+    * the FIRST failing rule as its reject reason — the operational shape
+    * (reason histograms drive threshold tuning; a bare boolean cannot).
+    * Pure integer-math column expressions over the same signals as
+    * [[qualityScore]], one narrow codegen pass, SQL-expressible (oracle
+    * q49). Thresholds are parameters; defaults split the harness corpus
+    * non-trivially. */
+  def qualityFilter(spark: SparkSession, dir: String,
+                    minTokens: Int = 30,
+                    minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
+                    minStopwordBp: Int = 100): DataFrame = {
+    val toks = size(split(col("text"), " "))
+    val meanX100 = floor(col("n_chars") * lit(100L) / toks)
+    val stopBp = floor(size(filter(split(col("text"), " "), _ === "the"))
+      * lit(10000L) / toks)
+    val reason = when(toks < minTokens, "too_short")
+      .when(meanX100 < minMeanLenX100, "short_tokens")
+      .when(meanX100 > maxMeanLenX100, "long_tokens")
+      .when(stopBp < minStopwordBp, "low_stopword")
+    docs(spark, dir).select(
+      col("doc_id"),
+      reason.isNull.as("keep"),
+      reason.as("reason"))
+  }
+
   /** Language distribution (batch stats over the langid column). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy(col("lang")).agg(

@@ -142,6 +142,47 @@ class NearDupAnnSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSearch ranks an independent query batch against the corpus index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfsearch").toString
+    StressBench.writeEmbeddings(spark, 2000, dir)
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // queries = 100 corpus vectors under fresh ids: each must retrieve its
+    // source row at rank 1 with cosine 1 (no self-exclusion across tables),
+    // and the full top-3 must equal a brute-force reference
+    val queries = corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val got = Ann.ivfSearch(spark, queries, corpus, k = 3)
+    val r1 = got.filter(col("rank") === 1)
+      .select("vec_id", "neighbor_id", "cos_sim").collect()
+    assert(r1.length == 100)
+    for (r <- r1) {
+      assert(r.getLong(1) == r.getLong(0) - 1000000L,
+        s"query ${r.getLong(0)} must retrieve its planted source, got ${r.getLong(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    // brute reference over the collected corpus (2000 × 64 — test-sized)
+    val cs = corpus.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val want = queries.collect().flatMap { q =>
+      val qv = q.getSeq[Float](1).toArray
+      cs.map { case (cid, cv) => (cid, cosine(qv, cv)) }
+        .sortBy(t => (-t._2, t._1)).take(3)
+        .zipWithIndex.map { case ((cid, _), i) => (q.getLong(0), i + 1, cid) }
+    }.toSet
+    val gotAll = got.select("vec_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val recall = (want & gotAll).size.toDouble / want.size
+    assert(recall >= 0.95, s"search recall@3 $recall < 0.95")
+  }
+
   test("cosine near-dup: IVF path is a verified subset of exact and finds planted twins") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cosdup").toString
     val base = (0L until 300L).map { i =>
