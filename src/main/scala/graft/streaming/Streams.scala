@@ -40,6 +40,72 @@ object Streams {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Incremental near-dup against a STATIC corpus — the continuous-crawl
+    * shape: each arriving page MinHash-bands statelessly (signatures are
+    * per-row array expressions, not aggregations, so no streaming-agg
+    * watermark latency), candidates come from a stream-static equi-join on
+    * (band, bucket) against the prebuilt [[corpusBandIndex]], and the
+    * exact word-Jaccard verify runs inline on (stream tokens, corpus
+    * tokens) — batch [[graft.text.NearDup.minhashLsh]] semantics, one
+    * page at a time. Band-collision duplicates (a pair colliding in
+    * several bands) drop via dropDuplicatesWithinWatermark, so state is
+    * bounded by the watermark horizon. Emits
+    * (doc_id, corpus_id, inter, size_a, size_b) in append mode.
+    *
+    * `stream`: (doc_id, warc_ts, text) streaming; `corpusBands` /
+    * `corpusTokens` from [[corpusBandIndex]] (static, computed once —
+    * broadcast or shuffled by Spark's stream-static planning). */
+  def nearDupAgainstCorpus(stream: DataFrame,
+                           corpusBands: DataFrame, corpusTokens: DataFrame,
+                           numHashes: Int = 16, bands: Int = 4,
+                           thresholdPct: Int = 50,
+                           watermark: String = "10 minutes"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val toks = array_distinct(filter(split(col("text"), " "), t => t =!= ""))
+    // per-row MinHash: sig_i = min over tokens of xxhash64(i, token) —
+    // identical values to NearDup.minhashSignatures' groupBy form (min is
+    // dedup-insensitive), but expressible on a stream
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(toks, t => xxhash64(lit(i), t)))): _*)
+    val banded = stream
+      .withWatermark("warc_ts", watermark)
+      .withColumn("s_toks", toks)
+      .withColumn("sig", sig)
+      .select(col("doc_id"), col("warc_ts"), col("s_toks"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+      .toDF("doc_id", "warc_ts", "s_toks", "band", "bucket")
+    banded.join(corpusBands, Seq("band", "bucket"))
+      .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
+      .join(corpusTokens, "corpus_id")
+      .withColumn("inter", size(array_intersect(col("s_toks"), col("c_toks"))))
+      .withColumn("size_a", size(col("s_toks")))
+      .withColumn("size_b", size(col("c_toks")))
+      .filter(col("inter") * 100 >=
+        (col("size_a") + col("size_b") - col("inter")) * thresholdPct)
+      .select(col("doc_id"), col("corpus_id"), col("inter"),
+        col("size_a"), col("size_b"))
+  }
+
+  /** The static side of [[nearDupAgainstCorpus]], computed ONCE per corpus
+    * snapshot: (corpus_id, band, bucket) band index + (corpus_id, c_toks)
+    * distinct token arrays. Uses the SAME banding formula as the stream
+    * side, so buckets collide iff the band signatures are equal. */
+  def corpusBandIndex(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4)
+      : (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = graft.text.NearDup.minhashSignatures(corpus, numHashes)
+    val banded = sigs.select(col("doc_id").as("corpus_id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+      .toDF("corpus_id", "band", "bucket")
+    val toks = corpus.select(col("doc_id").as("corpus_id"),
+      array_distinct(filter(split(col("text"), " "), t => t =!= "")).as("c_toks"))
+    (banded, toks)
+  }
+
   // ── agent motion as keyed streaming state ──
 
   case class MotionEvent(agent: String, seq: Long, action: String, target: Long)

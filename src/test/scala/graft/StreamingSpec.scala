@@ -64,6 +64,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set("u1", "u2", "u4"), s"got $got")
   }
 
+  test("streaming near-dup flags arrivals against a static corpus index") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val (bandsIdx, toksIdx) = Streams.corpusBandIndex(corpus)
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    mem.addData(
+      (10L, t(0), "delta gamma beta alpha"), // same token SET as corpus 1 →
+                                             // identical signature, certain hit
+      (11L, t(1), "zz qq ww ee"),            // disjoint: no candidate
+      (12L, t(2), "one two three four"))     // exact dup of corpus 2
+    val q = Streams.nearDupAgainstCorpus(
+        mem.toDF().toDF("doc_id", "warc_ts", "text"), bandsIdx, toksIdx,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((10L, 1L, 4), (12L, 2L, 4)), s"got $got")
+  }
+
   test("flatMapGroupsWithState replays agent motion deterministically") {
     import spark.implicits._
     implicit val s = spark
