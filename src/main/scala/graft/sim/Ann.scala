@@ -173,10 +173,14 @@ object Ann {
       c, nprobe, iters, maxTrainSamples, payload = true)
     val qRows = withNorm(queries.select(col("vec_id"), col("embedding")))
       .withColumn("unit", transform(col("embedding"), x => x.cast("double") / col("norm")))
+    // hoisted locals: capturing `p` would serialize the whole IvfParts
+    // (DataFrame fields and all) into every task closure
+    val cents = p.centroids
+    val np = p.nprobe
     val qProbes = qRows.select(col("vec_id"), col("unit"), col("embedding"), col("norm"))
       .as[(Long, Seq[Double], Array[Float], Double)]
       .flatMap { case (id, u, e, nm) =>
-        topClusters(u.toArray, p.centroids.value, p.nprobe).map(cl => (id, cl, e, nm))
+        topClusters(u.toArray, cents.value, np).map(cl => (id, cl, e, nm))
       }.toDF("vec_id", "cluster", "qv", "qn")
     rerank(qProbes, p.assign, k, excludeSelf = false)
   }

@@ -73,8 +73,7 @@ object Streams {
       .withColumn("s_toks", toks)
       .withColumn("sig", sig)
       .select(col("doc_id"), col("warc_ts"), col("s_toks"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+        posexplode(graft.text.NearDup.bandBuckets(col("sig"), bands, rows)))
       .toDF("doc_id", "warc_ts", "s_toks", "band", "bucket")
     banded.join(corpusBands, Seq("band", "bucket"))
       .dropDuplicatesWithinWatermark("doc_id", "corpus_id")
@@ -90,19 +89,25 @@ object Streams {
 
   /** The static side of [[nearDupAgainstCorpus]], computed ONCE per corpus
     * snapshot: (corpus_id, band, bucket) band index + (corpus_id, c_toks)
-    * distinct token arrays. Uses the SAME banding formula as the stream
-    * side, so buckets collide iff the band signatures are equal. */
+    * distinct token arrays, both CACHED — without the persist, the
+    * full-corpus MinHash aggregation would re-execute on every micro-batch
+    * of the join, degrading the incremental shape to repeated batch work.
+    * The CALLER owns the caches: unpersist both frames when rotating to a
+    * new corpus snapshot. Banding goes through the one shared
+    * [[graft.text.NearDup.bandBuckets]] formula, so stream and corpus
+    * buckets collide iff the band signatures are equal. */
   def corpusBandIndex(corpus: DataFrame, numHashes: Int = 16, bands: Int = 4)
       : (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = graft.text.NearDup.minhashSignatures(corpus, numHashes)
     val banded = sigs.select(col("doc_id").as("corpus_id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+        posexplode(graft.text.NearDup.bandBuckets(col("sig"), bands, rows)))
       .toDF("corpus_id", "band", "bucket")
+      .cache()
     val toks = corpus.select(col("doc_id").as("corpus_id"),
-      array_distinct(filter(split(col("text"), " "), t => t =!= "")).as("c_toks"))
+        array_distinct(filter(split(col("text"), " "), t => t =!= "")).as("c_toks"))
+      .cache()
     (banded, toks)
   }
 

@@ -107,9 +107,18 @@ object NearDup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"), col("size_b"))
   }
 
+  /** LSH band buckets from a signature column: band b = xxhash64 of the
+    * b-th length-`rows` slice. ONE definition — minhashLsh and the
+    * streaming corpus/stream sides (graft.streaming.Streams) must produce
+    * bit-identical buckets or the band join silently finds nothing. */
+  def bandBuckets(sig: org.apache.spark.sql.Column, bands: Int, rows: Int)
+      : org.apache.spark.sql.Column =
+    array((0 until bands).map(b =>
+      xxhash64(slice(sig, b * rows + 1, rows).cast("string"))): _*)
+
   /** MinHash signature: for seed i, sig_i = min over tokens of
     * xxhash64(i, token). One row per doc with sig ARRAY<LONG>. */
-  def minhashSignatures(d: DataFrame, numHashes: Int, maxDf: Int = 1000): DataFrame = {
+  def minhashSignatures(d: DataFrame, numHashes: Int): DataFrame = {
     val ts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "").distinct()
     val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i"))
@@ -127,8 +136,7 @@ object NearDup {
     val sigs = minhashSignatures(d, numHashes)
     val rows = numHashes / bands
     val banded = sigs.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows).cast("string"))): _*)))
+        posexplode(bandBuckets(col("sig"), bands, rows)))
       .toDF("doc_id", "band", "bucket")
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
