@@ -59,6 +59,7 @@ object SparkEntry {
                                        col("fr_hits").cast("long").as("fr_hits"))),
     "q24_fingerprint"    -> ((s, d) => TextOps.fingerprint(s, d)),
     "q49_quality_filter" -> ((s, d) => TextOps.qualityFilter(s, d)),
+    "q50_bpe_tokens"     -> ((s, d) => TextOps.bpeTokenCount(s, d)),
     "q25_jaccard_neardup" -> ((s, d) => graft.text.NearDup.jaccardPairs(s, d, thresholdPct = 80)),
     "q26_minhash_lsh"    -> ((s, d) => graft.text.NearDup.minhashLsh(s, d, thresholdPct = 80)),
     "q40_ngram_jaccard"  -> ((s, d) => graft.text.NearDup.ngramJaccardPairs(s, d, n = 3, thresholdPct = 80)),
@@ -500,6 +501,13 @@ object SparkEntry {
          FROM documents""",
     // q24_fingerprint: xxhash64-based rolling hash has no DuckDB equivalent —
     // rows-only check (SURVEY.md §2.7 extension functions).
+    // BPE pre-tokenization count; the pattern is character-classes-only so
+    // Java regex and RE2 agree
+    "q50_bpe_tokens" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                     AS BIGINT) AS n_bpe_tokens
+         FROM documents""",
     // keep/reason from the same integer-math signals as q21; CASE order =
     // the Spark when-chain order (first failing rule wins)
     "q49_quality_filter" ->

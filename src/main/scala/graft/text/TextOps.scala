@@ -18,6 +18,22 @@ object TextOps {
       col("doc_id"),
       size(split(col("text"), " ")).as("n_tokens"))
 
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks as separate tokens — the pre-tokenization a
+    * byte-pair encoder applies before merges, so this tracks real LLM
+    * token counts far better than whitespace splitting (digits and
+    * punctuation inflate BPE counts; whitespace counting misses both).
+    * One codegen regexp_extract_all per row; the pattern sticks to
+    * character classes only so Java regex (Spark) and RE2 (DuckDB oracle)
+    * agree byte-for-byte. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
+
   /** Exact dedup: hash-groupBy on text, keep min doc_id as the canonical
     * representative. At 100 TB this is one shuffle on a 128-bit digest —
     * group on md5(text), never on the raw text bytes. */
