@@ -207,6 +207,37 @@ object Bench {
         System.err.println(f"[bench] warc ingest e2e: ${200000L / tIngest}%.0f pages/s incl. lineage commit")
     }
 
+    // end-to-end text CURATION (the training-data twin of the warc ingest):
+    // pages parquet → quality filter → exact dedup + copy counts → token
+    // annotation → lineage-committed bucket table, 200k pages
+    locally {
+      var st = "ok"
+      var tCur = 0.0
+      val t0 = System.nanoTime()
+      try {
+        val cDir = Flagship.materializePages(spark, benchCfg(200000L))
+        val outDir = java.nio.file.Files.createTempDirectory("graft-curate-bench").toString
+        tCur = time {
+          // thresholds fitted to the synthetic corpus (~22 tokens, no
+          // English stopwords) so the filter passes most rows and the
+          // dedup window + commit do the measured work
+          val r = graft.web.Curation.curate(spark,
+            spark.read.parquet(cDir).select("url", "warc_ts", "text", "lang"),
+            outDir, "bench-curate", minTokens = 10,
+            minMeanLenX100 = 100, maxMeanLenX100 = 2000, minStopwordBp = 0)
+          require(r.pending.nonEmpty && r.skipped.isEmpty, "fresh curate must write all buckets")
+        }
+      } catch { case e: Throwable =>
+        st = "err:" + e.getClass.getSimpleName
+        tCur = (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[bench] curate FAILED: ${e.getMessage}")
+      }
+      results += ("curate_e2e_200k" -> tCur)
+      status += "curate_e2e_200k" -> st
+      if (st == "ok")
+        System.err.println(f"[bench] curation e2e: ${200000L / tCur}%.0f pages/s incl. dedup + lineage commit")
+    }
+
     // 10× scale-stress of the heavy operators (sublinearity by measurement)
     spark.catalog.clearCache()
     val stress =

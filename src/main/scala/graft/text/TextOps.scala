@@ -66,18 +66,31 @@ object TextOps {
                     minTokens: Int = 30,
                     minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
                     minStopwordBp: Int = 100): DataFrame = {
-    val toks = size(split(col("text"), " "))
-    val meanX100 = floor(col("n_chars") * lit(100L) / toks)
-    val stopBp = floor(size(filter(split(col("text"), " "), _ === "the"))
-      * lit(10000L) / toks)
-    val reason = when(toks < minTokens, "too_short")
-      .when(meanX100 < minMeanLenX100, "short_tokens")
-      .when(meanX100 > maxMeanLenX100, "long_tokens")
-      .when(stopBp < minStopwordBp, "low_stopword")
+    val reason = qualityReason(col("text"), col("n_chars"),
+      minTokens, minMeanLenX100, maxMeanLenX100, minStopwordBp)
     docs(spark, dir).select(
       col("doc_id"),
       reason.isNull.as("keep"),
       reason.as("reason"))
+  }
+
+  /** The rule chain itself, over any (text, n_chars) columns — shared by
+    * [[qualityFilter]] (oracle q49) and the end-to-end
+    * [[graft.web.Curation]] pipeline. NULL = keep; otherwise the first
+    * failing rule's name. */
+  def qualityReason(text: org.apache.spark.sql.Column,
+                    nChars: org.apache.spark.sql.Column,
+                    minTokens: Int = 30,
+                    minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
+                    minStopwordBp: Int = 100): org.apache.spark.sql.Column = {
+    val toks = size(split(text, " "))
+    val meanX100 = floor(nChars * lit(100L) / toks)
+    val stopBp = floor(size(filter(split(text, " "), _ === "the"))
+      * lit(10000L) / toks)
+    when(toks < minTokens, "too_short")
+      .when(meanX100 < minMeanLenX100, "short_tokens")
+      .when(meanX100 > maxMeanLenX100, "long_tokens")
+      .when(stopBp < minStopwordBp, "low_stopword")
   }
 
   /** Language distribution (batch stats over the langid column). */

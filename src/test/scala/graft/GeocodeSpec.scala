@@ -262,6 +262,34 @@ class GeocodeSpec extends AnyFunSuite {
     assert(parsed("u3")._1.isEmpty)
   }
 
+  test("curation pipeline: quality-filter, dedup with copy counts, resumable commit") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val good = ("the abcd " * 20).trim // 40 tokens, mean len ok, 50% stopword
+    val good2 = ("the word here now " * 10).trim
+    val pages = Seq(
+      ("u1", base, good, "en"),
+      ("u2", base, good, "en"),    // exact dup of u1 → collapses into it
+      ("u3", base, "short", "en"), // rejected: too_short
+      ("u4", base, good2, "en"))
+      .toDF("url", "warc_ts", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("graft-curate").toString
+    val r1 = graft.web.Curation.curate(spark, pages, out, "snap-1")
+    assert(r1.pending.nonEmpty && r1.skipped.isEmpty)
+    val curated = spark.read.parquet(s"$out/data")
+    val rows = curated.select("url", "n_copies", "n_tokens", "n_bpe_tokens")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows.keySet == Set("u1", "u4"), s"got ${rows.keySet}")
+    assert(rows("u1")._1 == 2L, "dup pair must collapse with n_copies = 2")
+    assert(rows("u4")._1 == 1L)
+    assert(rows("u1")._2 == 40L) // whitespace tokens
+    assert(rows("u1")._3 == 40L) // all-letter tokens: BPE count agrees here
+    // resume: a second run over the same input rewrites nothing
+    val r2 = graft.web.Curation.curate(spark, pages, out, "snap-2")
+    assert(r2.pending.isEmpty && r2.skipped.toSet == r1.pending.toSet)
+    assert(graft.web.Lineage.audit(spark, out).isEmpty, "audit must be clean")
+  }
+
   test("compaction rewrites fragmented buckets to one file, manifests stay valid") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // fragment deliberately: 48 write tasks → up to 48 files per bucket
