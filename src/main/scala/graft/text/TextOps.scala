@@ -12,11 +12,21 @@ object TextOps {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** The two token-count column expressions, defined ONCE — shared by the
+    * per-table operators (q19/q50), the quality rules, and the
+    * [[graft.web.Curation]] pipeline, so counting semantics cannot
+    * silently diverge between the operator, the filter, and the committed
+    * table. */
+  def wsTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(split(text, " "))
+  def bpeTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Whitespace token count per document. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      size(split(col("text"), " ")).as("n_tokens"))
+      wsTokens(col("text")).as("n_tokens"))
 
   /** BPE-ish token count: letter runs, digit runs, and single
     * non-alphanumeric marks as separate tokens — the pre-tokenization a
@@ -31,8 +41,7 @@ object TextOps {
   def bpeTokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).select(
       col("doc_id"),
-      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
-        .cast("long").as("n_bpe_tokens"))
+      bpeTokens(col("text")).cast("long").as("n_bpe_tokens"))
 
   /** Exact dedup: hash-groupBy on text, keep min doc_id as the canonical
     * representative. At 100 TB this is one shuffle on a 128-bit digest —
@@ -83,7 +92,7 @@ object TextOps {
                     minTokens: Int = 30,
                     minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
                     minStopwordBp: Int = 100): org.apache.spark.sql.Column = {
-    val toks = size(split(text, " "))
+    val toks = wsTokens(text)
     val meanX100 = floor(nChars * lit(100L) / toks)
     val stopBp = floor(size(filter(split(text, " "), _ === "the"))
       * lit(10000L) / toks)

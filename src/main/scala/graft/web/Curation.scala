@@ -34,6 +34,10 @@ object Curation {
              minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
              minStopwordBp: Int = 100): Lineage.RunResult = {
     val scored = pages
+      // NULL text would pass every when() rule (NULL reason = keep) and
+      // then md5(NULL) would collapse all null-text pages into one bogus
+      // curated row — reject them up front, explicitly
+      .filter(col("text").isNotNull)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("reason", TextOps.qualityReason(col("text"), col("n_chars"),
         minTokens, minMeanLenX100, maxMeanLenX100, minStopwordBp))
@@ -46,10 +50,9 @@ object Curation {
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n_copies", count(lit(1)).over(wHash))
       .filter(col("rn") === 1)
-      .drop("rn", "text_hash")
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("n_bpe_tokens",
-        size(regexp_extract_all(col("text"), lit(TextOps.BpePattern), lit(0))).cast("long"))
+      .drop("rn", "text_hash", "n_chars")
+      .withColumn("n_tokens", TextOps.wsTokens(col("text")).cast("long"))
+      .withColumn("n_bpe_tokens", TextOps.bpeTokens(col("text")).cast("long"))
       .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets.toLong)))
     Lineage.run(spark, curated, outDir, snapshotId)
   }
