@@ -166,8 +166,12 @@ object Lineage {
     * one run the parquet job commit moves each partition dir atomically.
     * Lineage stats come from reading back the written files (validates what
     * is on disk); the input plan is computed once (cached). */
+  /** `repartitionByBucket = false` skips the pre-write exchange — maximal
+    * write parallelism at the cost of tasks × buckets output files (the
+    * layout [[compact]] exists to repair); the default one-exchange layout
+    * writes one file-set per bucket. */
   def run(spark: SparkSession, df: DataFrame, outDir: String,
-          snapshotId: String): RunResult = {
+          snapshotId: String, repartitionByBucket: Boolean = true): RunResult = {
     val done = completed(outDir)
     val work = df.cache()
     val allBuckets = work.select("bucket").distinct().collect().map(_.getLong(0)).sorted
@@ -176,8 +180,17 @@ object Lineage {
     val ms = scala.collection.mutable.ArrayBuffer.empty[Manifest]
     if (pending.nonEmpty) {
       Files.createDirectories(manifestDir(outDir))
-      work.filter(col("bucket").isin(pending: _*))
-        .write.mode("overwrite")
+      // repartition by bucket BEFORE the partitioned write: without it
+      // every write task emits a file into every bucket dir — tasks ×
+      // buckets files (1000 executors × 10⁴ buckets = 10⁷ files at
+      // deployment scale; measured 4× the whole commit wall at 200k rows
+      // × 64 buckets locally). One exchange on the partition key buys
+      // one file-set per bucket and a proportionally cheaper read-back
+      // audit and downstream scan.
+      locally {
+        val filtered = work.filter(col("bucket").isin(pending: _*))
+        if (repartitionByBucket) filtered.repartition(col("bucket")) else filtered
+      }.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")
         .parquet(s"$outDir/data")

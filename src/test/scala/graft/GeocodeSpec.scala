@@ -292,9 +292,10 @@ class GeocodeSpec extends AnyFunSuite {
 
   test("compaction rewrites fragmented buckets to one file, manifests stay valid") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-compact").toString
-    // fragment deliberately: 48 write tasks → up to 48 files per bucket
+    // fragment deliberately: skip the bucket repartition so 48 write tasks
+    // each emit into every bucket dir — the layout compact() repairs
     val df = Flagship.geocode(spark, cfg).repartition(48).cache()
-    Lineage.run(spark, df, outDir, "snap-1")
+    Lineage.run(spark, df, outDir, "snap-1", repartitionByBucket = false)
     def filesOf(b: Long): Long = {
       val d = java.nio.file.Paths.get(outDir, "data", s"bucket=$b")
       java.nio.file.Files.list(d).toArray.count(_.toString.endsWith(".parquet"))
