@@ -165,13 +165,24 @@ object Lineage {
     * the bucket: completed buckets are never recomputed or rewritten; within
     * one run the parquet job commit moves each partition dir atomically.
     * Lineage stats come from reading back the written files (validates what
-    * is on disk); the input plan is computed once (cached). */
-  /** `repartitionByBucket = false` skips the pre-write exchange — maximal
-    * write parallelism at the cost of tasks × buckets output files (the
-    * layout [[compact]] exists to repair); the default one-exchange layout
-    * writes one file-set per bucket. */
+    * is on disk); the input plan is computed once (cached).
+    *
+    * @param repartitionByBucket false skips the pre-write exchange —
+    *        maximal write parallelism at the cost of tasks × buckets
+    *        output files (the layout [[compact]] exists to repair); the
+    *        default one-exchange layout writes ≤ splitsPerBucket file-sets
+    *        per bucket.
+    * @param splitsPerBucket bounded salt WITHIN each bucket for the
+    *        default layout: a hot bucket (skewed web data) would otherwise
+    *        hash to ONE shuffle partition and serialize its whole write
+    *        into one straggler task. splits > 1 spreads each bucket over
+    *        that many tasks — files per bucket stay ≤ splits (bounded, not
+    *        the unbounded tasks × buckets of the off switch) and write
+    *        parallelism becomes splits × buckets. */
   def run(spark: SparkSession, df: DataFrame, outDir: String,
-          snapshotId: String, repartitionByBucket: Boolean = true): RunResult = {
+          snapshotId: String, repartitionByBucket: Boolean = true,
+          splitsPerBucket: Int = 1): RunResult = {
+    require(splitsPerBucket >= 1, "splitsPerBucket must be >= 1")
     val done = completed(outDir)
     val work = df.cache()
     val allBuckets = work.select("bucket").distinct().collect().map(_.getLong(0)).sorted
@@ -189,7 +200,10 @@ object Lineage {
       // audit and downstream scan.
       locally {
         val filtered = work.filter(col("bucket").isin(pending: _*))
-        if (repartitionByBucket) filtered.repartition(col("bucket")) else filtered
+        if (!repartitionByBucket) filtered
+        else if (splitsPerBucket == 1) filtered.repartition(col("bucket"))
+        else filtered.repartition(col("bucket"),
+          pmod(xxhash64(col("url")), lit(splitsPerBucket.toLong)))
       }.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket")

@@ -319,6 +319,26 @@ class GeocodeSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("splitsPerBucket bounds files per bucket while spreading hot buckets") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-splits").toString
+    val df = Flagship.geocode(spark, cfg).repartition(16).cache()
+    // AQE coalesces this toy-sized shuffle to one partition (correct at
+    // scale: only SMALL salt partitions merge; a hot bucket's stay apart) —
+    // disable it here so the split layout is observable
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Lineage.run(spark, df, outDir, "snap-1", splitsPerBucket = 3)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    def filesOf(b: Long): Long = {
+      val d = java.nio.file.Paths.get(outDir, "data", s"bucket=$b")
+      java.nio.file.Files.list(d).toArray.count(_.toString.endsWith(".parquet"))
+    }
+    val buckets = Lineage.completed(outDir).keys.toSeq.sorted
+    assert(buckets.forall(filesOf(_) <= 3), "file count per bucket must stay <= splits")
+    assert(buckets.exists(filesOf(_) > 1), "a populated bucket must actually split")
+    assert(Lineage.audit(spark, outDir).isEmpty)
+    df.unpersist()
+  }
+
   test("lineage manifests make the job resumable without recompute") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
     val df = Flagship.geocode(spark, cfg).cache()
