@@ -40,6 +40,34 @@ object Streams {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Streaming CURATION — [[graft.web.Curation.curate]]'s semantics as a
+    * continuous ingest: arriving pages quality-filter (same
+    * [[graft.text.TextOps.qualityReason]] rule chain, same thresholds),
+    * exact-dedup on the text hash with watermark-bounded state, and carry
+    * their token counts. Differences from the batch pipeline, inherent to
+    * streams: the canonical survivor is the FIRST arrival (not the
+    * min-url row — later arrivals are already gone when a dup appears),
+    * there is no n_copies (a stream cannot count future duplicates), and
+    * dedup forgets hashes past the watermark horizon (bounded state; the
+    * batch pass over the accumulated table remains the exact
+    * ground truth). */
+  def curateStream(pages: DataFrame, watermark: String = "10 minutes",
+                   minTokens: Int = 30,
+                   minMeanLenX100: Int = 300, maxMeanLenX100: Int = 900,
+                   minStopwordBp: Int = 100): DataFrame =
+    pages
+      .filter(col("text").isNotNull)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .filter(graft.text.TextOps.qualityReason(col("text"), col("n_chars"),
+        minTokens, minMeanLenX100, maxMeanLenX100, minStopwordBp).isNull)
+      .drop("n_chars")
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .drop("text_hash")
+      .withColumn("n_tokens", graft.text.TextOps.wsTokens(col("text")).cast("long"))
+      .withColumn("n_bpe_tokens", graft.text.TextOps.bpeTokens(col("text")).cast("long"))
+
   /** Incremental near-dup against a STATIC corpus — the continuous-crawl
     * shape: each arriving page MinHash-bands statelessly (signatures are
     * per-row array expressions, not aggregations, so no streaming-agg

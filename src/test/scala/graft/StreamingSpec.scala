@@ -64,6 +64,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set("u1", "u2", "u4"), s"got $got")
   }
 
+  test("streaming curation filters quality and dedups with watermark-bounded state") {
+    import spark.implicits._
+    val mem = MemoryStream[(String, java.sql.Timestamp, String, String)](spark)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    val good = ("the abcd " * 20).trim
+    val good2 = ("the word here now " * 10).trim
+    mem.addData(
+      ("u1", t(0), good, "en"),
+      ("u2", t(1), good, "en"),    // exact dup of u1: dropped
+      ("u3", t(2), "short", "en"), // quality-rejected
+      ("u4", t(3), good2, "en"))
+    val q = Streams.curateStream(
+        mem.toDF().toDF("url", "warc_ts", "text", "lang"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("curate_out")
+      .select("url", "n_tokens", "n_bpe_tokens").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == Set("u1", "u4"), s"got ${got.keySet}")
+    assert(got("u1") == (40L, 40L))
+  }
+
   test("streaming near-dup flags arrivals against a static corpus index") {
     import spark.implicits._
     val corpus = Seq(
