@@ -110,17 +110,24 @@ object PlacePipeline {
 
     // ── buildings: deepest-first claim = post-order rank 1 (J3) ──
     // display name/street are per-row functions — computed BEFORE the claim
-    // window so the shuffle carries 5 narrow strings, not the tags map
-    val wClaim = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
+    // shuffle so it carries 5 narrow strings, not the tags map. min_by
+    // replaces the row_number window: post_idx is unique per (elem_key,
+    // bkey) appearance, so argmin-by-post_idx IS rank 1 — and a declarative
+    // aggregate gets map-side partial aggregation (most of an element's
+    // ancestor appearances collapse before the exchange) where a window
+    // must shuffle and sort every appearance
     val buildingsClaimed = withMeta
       .filter(col("cls").isin("bldg_street", "bldg_plain"))
       .withColumn("street", col("b_street"))
       .withColumn("bname", col("b_name"))
       .filter(col("bname").isNotNull)
-      .select("bkey", "elem_key", "street", "bname", "chain", "post_idx")
-      .withColumn("rn", row_number().over(wClaim))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("elem_key"))
+      .agg(min_by(
+        struct(col("bkey"), col("street"), col("bname"), col("chain"), col("post_idx")),
+        col("post_idx")).as("w"))
+      .select(col("w.bkey").as("bkey"), col("elem_key"), col("w.street").as("street"),
+        col("w.bname").as("bname"), col("w.chain").as("chain"),
+        col("w.post_idx").as("post_idx"))
       .cache() // shared by streets, buildings
 
     // ── street candidates: highway ways and relations (hierarchy.ml:158-176) ──
@@ -133,19 +140,20 @@ object PlacePipeline {
 
     // crossing(way, boundary): some member node is one of this boundary's
     // outer-name nodes (hierarchy.ml:214-218); outer nodes are a bounded
-    // dimension (border nodes) → broadcast, no shuffle of the exploded ways
-    val crossing = wayCandidates
-      .select(col("bkey"), col("elem_key"), explode(col("nds")).as("nd"))
-      .join(broadcast(outerNodes), Seq("bkey", "nd"), "left_semi")
-      .select("bkey", "elem_key").distinct()
-      .withColumn("crossing", lit(true))
-
+    // dimension (border nodes) → ONE broadcast join of the per-boundary
+    // outer-node SET + arrays_overlap on the way's member array. The
+    // explode → semi-join → distinct → join-back chain this replaces cost
+    // two extra exchanges and a full scan of the exploded members
+    val outerSets = outerNodes.groupBy(col("bkey"))
+      .agg(collect_set(col("nd")).as("outer_nds"))
     // inclusion: AND of `crossing` over all earlier post-order appearances
     val wPrev = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val waysIncluded = wayCandidates
-      .join(crossing, Seq("bkey", "elem_key"), "left")
-      .withColumn("crossing", coalesce(col("crossing"), lit(false)))
+      .join(broadcast(outerSets), Seq("bkey"), "left")
+      .withColumn("crossing",
+        coalesce(arrays_overlap(col("nds"), col("outer_nds")), lit(false)))
+      .drop("outer_nds")
       .withColumn("included", coalesce(min(col("crossing")).over(wPrev), lit(true)))
       .filter(col("included"))
       .cache() // shared by street groups, junctions
@@ -162,15 +170,16 @@ object PlacePipeline {
     // junction iff ≥2 distinct street names meet there or it is an
     // outer-name node; one Junction atom per (boundary, street, node) ──
     // ONE aggregation does qualify + atom emission: collect_set dedupes the
-    // (street, chain) pairs per (boundary, node) — chain is functionally
-    // dependent on bkey, so set size == distinct street count — then the
-    // qualified sets re-explode into atoms. (The previous shape paid three
-    // shuffles: explode-distinct, countDistinct agg, semi join back.)
+    // street names per (boundary, node) — then the qualified sets
+    // re-explode into atoms. `chain` is functionally dependent on bkey, so
+    // it does NOT ride the explode/shuffle: the post-agg broadcast metaDf
+    // join re-attaches it (the round-5 shape shipped a (street, chain)
+    // struct per member — the ~60-char chain dominated the exchange bytes).
     val wayNodes = waysIncluded
-      .select(col("bkey"), col("street"), col("chain"), explode(col("nds")).as("nd"))
+      .select(col("bkey"), col("street"), explode(col("nds")).as("nd"))
     val qualified = wayNodes
       .groupBy(col("bkey"), col("nd"))
-      .agg(collect_set(struct(col("street"), col("chain"))).as("ss"))
+      .agg(collect_set(col("street")).as("ss"))
       .join(broadcast(outerNodes.withColumn("is_outer", lit(true))), Seq("bkey", "nd"), "left")
       .filter(size(col("ss")) > 1 || col("is_outer"))
     // closure = first self-or-ancestor boundary whose outer-name set misses
@@ -182,16 +191,17 @@ object PlacePipeline {
     val outerByNode = outerNodes.groupBy(col("nd"))
       .agg(collect_set(col("bkey")).as("outer_bkeys"))
     val junctionAtoms = qualified
-      .join(broadcast(metaDf.select(col("bkey"), col("path"))), Seq("bkey"))
+      .join(broadcast(metaDf.select(col("bkey"), col("path"), col("chain"))), Seq("bkey"))
       .join(broadcast(outerByNode), Seq("nd"), "left")
       .withColumn("closure",
         coalesce(
           try_element_at(filter(col("path"),
             a => !array_contains(coalesce(col("outer_bkeys"), array()), a)), lit(1)),
           lit("OPEN")))
-      .select(col("bkey"), col("nd"), col("closure"), explode(col("ss")).as("sc"))
-      .select(col("bkey"), col("sc.street").as("street"), col("nd"),
-        concat(col("sc.chain"), lit(">"), col("sc.street")).as("street_chain"),
+      .select(col("bkey"), col("nd"), col("closure"), col("chain"),
+        explode(col("ss")).as("street"))
+      .select(col("bkey"), col("street"), col("nd"),
+        concat(col("chain"), lit(">"), col("street")).as("street_chain"),
         col("closure"))
       .cache() // terminal table, re-read by junctionEdges + stats + assembly
 

@@ -195,7 +195,13 @@ object SynthWorld {
       val border = Seq(BoundaryElem("", "node", nodeId(c.id, 0, 0), Nil, Map.empty[String, String]))
       (hWays ++ vWays ++ bldgs ++ border).flatMap(e => anc.map(k => e.copy(bkey = k)))
     }.toSeq
-    (bounds, spark.createDataset(adminElems ++ cityElems))
+    // RDD-backed, NOT createDataset(seq): a LocalRelation embeds all ~10⁵
+    // rows in the logical plan, and every cache lookup / plan canonical-
+    // ization downstream re-compares that data per query — measured ~7 s of
+    // driver planning per hierarchy build at the bench size. An RDD root
+    // has identity-based plan equality (same rows, same distribution).
+    val all = adminElems ++ cityElems
+    (bounds, spark.createDataset(spark.sparkContext.parallelize(all)))
   }
 
   /** A disjoint translated copy of a world's extracts — the planet-shard
