@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Extra isolated benchmarks (guide §1.4 posture) — NOT part of the driver
+  * bench contract; cited in OPTIMIZATION_r06.md. Usage:
+  * `runMain graft.BenchExtra <section…>` with sections from:
+  * ivf, hier2shard, warc, curate. Defaults to all. */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    val sections = if (args.nonEmpty) args.toSet else Set("ivf", "hier2shard", "warc", "curate")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(l: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[extra] $l: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r)")
+    }
+
+    if (sections("hier2shard")) {
+      import graft.hier.{Hierarchy, PlacePipeline}
+      import graft.synth.SynthWorld
+      val shCfg = SynthWorld.Config(seed = 42L, gridP = 4, gridC = 4,
+        streetsPerCity = 10, buildingsPerStreet = 8)
+      val (b1, e1) = SynthWorld.boundaryExtracts(spark, shCfg)
+      val (b2, e2) = SynthWorld.shiftWorld(spark, b1, e1,
+        off = 1000000000000L, suffix = " B")
+      val metas2 = Hierarchy.metadata(b1 ++ b2)
+      val cached2 = e1.union(e2)
+        .repartition(spark.sparkContext.defaultParallelism * 2).cache()
+      cached2.count()
+      time("hierarchy_build_2shard") {
+        PlacePipeline.stats(PlacePipeline.build(spark, cached2, metas2)).nNodes
+      }
+      cached2.unpersist()
+      spark.catalog.clearCache()
+    }
+
+    if (sections("warc") || sections("curate")) {
+      val iCfg = Bench.benchCfg(200000L)
+      val dir = graft.web.Flagship.materializePages(spark, iCfg)
+      if (sections("curate")) {
+        val outDir = java.nio.file.Files.createTempDirectory("graft-curate-extra").toString
+        time("curate_e2e_200k") {
+          graft.web.Curation.curate(spark,
+            spark.read.parquet(dir).select("url", "warc_ts", "text", "lang"),
+            outDir, "extra-curate", minTokens = 10,
+            minMeanLenX100 = 100, maxMeanLenX100 = 2000, minStopwordBp = 0).pending.size
+        }
+      }
+    }
+
+    if (sections("ivf")) {
+      val rs = StressBench.runIvf(spark)
+      println(s"[extra] ivf: ${rs.map { case (k, v) => s"$k=$v" }.mkString(", ")}")
+    }
+
+    if (sections("ivfprof")) {
+      val timer = new graft.tools.HierProfile.JobTimer
+      spark.sparkContext.addSparkListener(timer)
+      val dir = s"${sys.props("java.io.tmpdir")}/graft-stress-emb-50000"
+      if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+        StressBench.writeEmbeddings(spark, 50000L, dir)
+      time("ivfTopK 50k noop") {
+        graft.sim.Ann.ivfTopK(spark, dir, k = 3)
+          .write.format("noop").mode("overwrite").save()
+      }
+      Thread.sleep(500)
+      timer.dump("ivfTopK 50k")
+    }
+    spark.stop()
+  }
+}

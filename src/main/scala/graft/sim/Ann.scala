@@ -207,21 +207,66 @@ object Ann {
     * both stages share the (cos desc, cand_id asc) tie-break. */
   private def rerank(probes: DataFrame, assign: DataFrame, k: Int,
                      excludeSelf: Boolean): DataFrame = {
+    import probes.sparkSession.implicits._
     val joined = probes.join(assign, "cluster")
     val scored = (if (excludeSelf) joined.filter(col("vec_id") =!= col("cand_id"))
                   else joined)
       .withColumn("cos_sim", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
-      .select(col("vec_id"), col("cluster"), col("cand_id"), col("cos_sim"))
-    val wLocal = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"), col("cluster"))
-      .orderBy(col("cos_sim").desc, col("cand_id").asc)
-    val pruned = scored.withColumn("rn", row_number().over(wLocal))
-      .filter(col("rn") <= k).drop("rn", "cluster")
+      .select(col("vec_id"), col("cand_id"), col("cos_sim"))
+    // per-PARTITION streaming top-k per vec_id, exchange-free (reuses the
+    // join's hash(cluster) partitioning; a vector's candidates span ≤
+    // nprobe partitions). The round-5 shape ran a row_number window over
+    // all ~nprobe·n^1.5 candidate rows — WindowExec buffered + sorted the
+    // full candidate stream (83 s of a 94 s wall at n = 50k, 2095 s task
+    // time). Bounded state (k entries per in-flight vector) replaces that:
+    // no sort, no spill, and it is a strictly stronger prune than the old
+    // per-(vec, cluster) one. Exact: any global top-k row is a top-k row
+    // of its partition. Comparisons use java.lang.Double.compare — the
+    // same total order (NaN greatest, -0.0 < 0.0) as the window sort it
+    // replaces, so ranking ties stay bit-identical.
+    val kk = k
+    val pruned = scored.as[(Long, Long, Double)].mapPartitions { it =>
+      val state = new java.util.HashMap[java.lang.Long, TopK]()
+      it.foreach { case (vid, cid, cos) =>
+        var t = state.get(vid)
+        if (t == null) { t = new TopK(kk); state.put(vid, t) }
+        t.offer(cos, cid)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      state.forEach { (vid, t) =>
+        var i = 0
+        while (i < t.n) { out += ((vid, t.id(i), t.cos(i))); i += 1 }
+      }
+      out.iterator
+    }.toDF("vec_id", "cand_id", "cos_sim")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cos_sim").desc, col("cand_id").asc)
     pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank"), col("cand_id").as("neighbor_id"), col("cos_sim"))
+  }
+
+  /** Bounded top-k pool ordered by (cos desc, id asc) via
+    * java.lang.Double.compare — Spark's double sort order. */
+  private final class TopK(k: Int) {
+    val cos = new Array[Double](k)
+    val id = new Array[Long](k)
+    var n = 0
+    // (c1, i1) strictly better than (c2, i2)
+    @inline private def better(c1: Double, i1: Long, c2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(c1, c2)
+      c > 0 || (c == 0 && i1 < i2)
+    }
+    def offer(c: Double, i: Long): Unit = {
+      if (n < k) { cos(n) = c; id(n) = i; n += 1 }
+      else {
+        // find the worst retained entry; replace if the offer beats it
+        var w = 0
+        var x = 1
+        while (x < n) { if (better(cos(w), id(w), cos(x), id(x))) w = x; x += 1 }
+        if (better(c, i, cos(w), id(w))) { cos(w) = c; id(w) = i }
+      }
+    }
   }
 
   /** Candidate-pair count for the given corpus/params — the measurable

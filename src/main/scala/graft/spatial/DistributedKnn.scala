@@ -110,11 +110,16 @@ object DistributedKnn {
 
     val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
     val wId = Window.partitionBy(col("id"))
-    var unresolved = materialize(spark, points.select("id", "lat", "lon"))
+    var unresolved = lazyMaterialize(spark, points.select("id", "lat", "lon"))
+    var unresolvedCount = unresolved.count()
     var best: DataFrame = null // (id, lat, lon, tid, d) — ≤ k rows per id
     var lo = 0
-    while (lo <= maxRing && !unresolved.isEmpty) {
-      val hi = math.min(if (lo < 2) lo + 1 else lo * 2, maxRing + 1) // [lo, hi)
+    while (lo <= maxRing && unresolvedCount > 0) {
+      // batch [lo, hi): rings 0 and 1 share the FIRST batch — the hi = 1
+      // finalize bound below is 0 m (vacuous), so a lone ring-0 round was
+      // one full shuffle barrier that could finalize nothing; merging it
+      // probes the same 9 cells in one round instead of two
+      val hi = math.min(if (lo == 0) 2 else lo * 2, maxRing + 1) // [lo, hi)
       val cands = unresolved
         .withColumn("cell",
           explode(ringBatch(col("lat"), col("lon"), lit(lo), lit(hi))))
@@ -134,11 +139,16 @@ object DistributedKnn {
         if ((1L << level) <= 2L * maxRing) pool0.dropDuplicates("id", "tid")
         else pool0
       // per-point running top-k; kth = the worst retained distance and
-      // cnt = retained pool size drive the finalization rule below
-      val roundBest = materialize(spark, pool
+      // cnt = retained pool size drive the finalization rule below.
+      // Cached but NOT counted here: the one combined action below
+      // materializes it through its consumers, so each round costs ONE
+      // Spark job instead of the round-5 four (pool count, best count,
+      // unresolved count, isEmpty probe).
+      val roundBest = pool
         .withColumn("rn", row_number().over(wBest)).filter(col("rn") <= k).drop("rn")
         .withColumn("cnt", count(lit(1)).over(wId))
-        .withColumn("kth", max(col("d")).over(wId)))
+        .withColumn("kth", max(col("d")).over(wId))
+        .cache()
       // rings 0..hi-1 are scanned, so the first unscanned ring is hi and
       // any target there is ≥ (hi-1) × minExtent away (the point may sit on
       // its own cell's edge); finalize once the pool is full (cnt = k) AND
@@ -148,15 +158,21 @@ object DistributedKnn {
         if (hi > maxRing) roundBest
         else roundBest.filter(col("cnt") === k &&
           col("kth") <= lit(hi - 1) * min_cell_extent_m(col("lat"), level))
-      // `best` is materialized per round too: it accumulates a union per
-      // round, and sparse worlds (many empty rings) would otherwise blow up
-      // analysis time
+      // `best`/`unresolved` are plan-truncated per round: they accumulate a
+      // union per round, and sparse worlds (many empty rings) would
+      // otherwise blow up analysis time
       val roundKept = roundBest.drop("cnt", "kth")
-      val newBest = materialize(spark, if (best == null) roundKept
+      val newBest = lazyMaterialize(spark, if (best == null) roundKept
         else best.join(unresolved.select("id"), Seq("id"), "left_anti")
           .unionByName(roundKept))
-      val newUnresolved = materialize(spark,
+      val newUnresolved = lazyMaterialize(spark,
         unresolved.join(finalized.select("id"), Seq("id"), "left_anti"))
+      // ONE action materializes roundBest (shared via its cache), newBest
+      // and newUnresolved, and returns the unresolved count that drives the
+      // loop — no separate isEmpty job
+      val counts = newBest.groupBy().count()
+        .unionAll(newUnresolved.groupBy().count()).collect()
+      unresolvedCount = counts(1).getLong(0)
       // the previous round's state and this round's scratch are dead now —
       // free them (round-2 leak: these accumulated for the session lifetime)
       if (best != null) best.unpersist(false)
@@ -170,4 +186,9 @@ object DistributedKnn {
     unresolved.unpersist(false)
     Option(best)
   }
+
+  /** [[materialize]] without the eager count — the caller's next action
+    * populates the cache; the plan is truncated the same way. */
+  private def lazyMaterialize(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.createDataFrame(df.rdd, df.schema).cache()
 }

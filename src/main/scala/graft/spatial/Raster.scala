@@ -70,40 +70,77 @@ object Raster {
   }
 
   /** Raster→vector component labeling: 4-neighbor connected components of
-    * the occupied cells, as iterative min-label propagation (the same
-    * checkpointed-loop pattern as R1/R3 — no sequential state, each round
-    * one shuffle on the linear key; rounds = component diameter).
+    * the occupied cells — the scalable two-phase shape:
+    *
+    *  1. ONE shuffle co-locates cells by their 2^blockBits-square grid
+    *    block; a streaming per-block union-find labels each cell with the
+    *    min key of its block-LOCAL component (memory = one block's occupied
+    *    cells, never the partition).
+    *  2. Only block-BORDER cells probe their out-of-block neighbors; the
+    *    resulting label-equivalence pairs form a contracted graph
+    *    (|block-graph| ≪ |cells|) on which the min-label + pointer-halving
+    *    loop runs — rounds = O(log block-graph diameter), each over
+    *    hundreds of labels instead of every cell.
+    *
+    * The round-5 shape ran the propagation loop over ALL cells (3 shuffles
+    * × O(log component diameter) rounds — ~60 Spark jobs at the q38 size);
+    * phase-1 collapses everything intra-block into one pass.
     *
     * Input: (i LONG, j LONG) occupied grid coordinates at one level.
     * Output: (i, j, comp) where comp = min linear key (i*gridN + j)
-    * reachable in the component. */
+    * reachable in the component — identical to the one-phase labeling. */
   def connectedComponents(spark: SparkSession, cells: DataFrame,
-                          gridN: Long, maxIters: Int = 64): DataFrame = {
+                          gridN: Long, maxIters: Int = 64,
+                          blockBits: Int = 10): DataFrame = {
     import spark.implicits._
+    val B = blockBits
     val ids = cells.select(col("i"), col("j"), (col("i") * gridN + col("j")).as("key"))
-      .distinct().cache()
-    // empty raster: return the empty (i, j, comp) frame rather than NPE on
-    // the null fixpoint aggregate below
-    if (ids.isEmpty) {
-      ids.unpersist()
-      return cells.sparkSession.emptyDataFrame
-        .select(lit(0L).as("i"), lit(0L).as("j"), lit(0L).as("comp"))
-    }
-    // undirected 4-adjacency as directed key pairs: emit each cell's four
-    // neighbor COORDINATES, equi-join against the occupied set
-    val probes = ids.select(col("key").as("src"),
-        explode(array(
-          struct((col("i") + 1).as("i"), col("j").as("j")),
-          struct((col("i") - 1).as("i"), col("j").as("j")),
-          struct(col("i").as("i"), (col("j") + 1).as("j")),
-          struct(col("i").as("i"), (col("j") - 1).as("j")))).as("n"))
-      .select(col("src"), col("n.i").as("i"), col("n.j").as("j"))
-    val edges = probes.join(ids.select(col("i"), col("j"), col("key").as("dst")), Seq("i", "j"))
+      .distinct()
+    // phase 1: block-local union-find. Rows arrive partitioned by block and
+    // SORTED by block within the partition, so one block is in memory at a
+    // time (bounded by 4^blockBits occupied cells; 2^20 at the default).
+    val labeled = ids
+      .repartition(shiftrightunsigned(col("i"), B), shiftrightunsigned(col("j"), B))
+      .sortWithinPartitions(shiftrightunsigned(col("i"), B), shiftrightunsigned(col("j"), B))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        new Iterator[Iterator[(Long, Long, Long, Long)]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Iterator[(Long, Long, Long, Long)] = {
+            val (bi, bj) = (buf.head._1 >> B, buf.head._2 >> B)
+            val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            while (buf.hasNext && (buf.head._1 >> B) == bi && (buf.head._2 >> B) == bj)
+              rows += buf.next()
+            labelBlock(rows, B, gridN)
+          }
+        }.flatten
+      }.toDF("i", "j", "key", "lbl")
+      .cache() // consumed by border probes + the final relabel join
+    // phase 2: border cells probe out-of-block neighbors only; both
+    // directions appear because each side of a cross-block edge probes the
+    // other. Equivalences are (src lbl, dst lbl) pairs.
+    val borderProbes = labeled.select(col("i"), col("j"), col("lbl"))
+      .as[(Long, Long, Long)]
+      .flatMap { case (i, j, lbl) =>
+        val out = List.newBuilder[(Long, Long, Long)]
+        if (((i + 1) >> B) != (i >> B)) out += ((i + 1, j, lbl))
+        if (i > 0 && ((i - 1) >> B) != (i >> B)) out += ((i - 1, j, lbl))
+        if (((j + 1) >> B) != (j >> B)) out += ((i, j + 1, lbl))
+        if (j > 0 && ((j - 1) >> B) != (j >> B)) out += ((i, j - 1, lbl))
+        out.result()
+      }.toDF("i", "j", "src")
+    val edges = borderProbes
+      .join(labeled.select(col("i"), col("j"), col("lbl").as("dst")), Seq("i", "j"))
       .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
       .cache()
-
-    var labels = ids.select(col("key"), col("key").as("comp"))
-    var converged = false
+    // min-label propagation over the contracted label graph; labels not in
+    // any equivalence keep their block-local lbl (coalesce at the end)
+    val eqNodes = edges.select(col("src").as("key"))
+      .unionByName(edges.select(col("dst").as("key"))).distinct()
+    var labels = eqNodes.select(col("key"), col("key").as("comp"))
+    var converged = edges.isEmpty // single-block / no-border worlds skip the loop
     var iter = 0
     // convergence via DECIMAL(38,0) sum: keys are i*gridN+j, so at fine
     // grids (gridN ≈ 2³¹) a Long sum of ~10⁹ labels overflows — under ANSI
@@ -141,13 +178,62 @@ object Raster {
     }
     // materialize the output, then release every intermediate cache: the
     // returned frame is the ONLY pinned artifact of this call (callers may
-    // unpersist it when consumed — asserted by RasterSpec's hygiene test)
-    val joined = ids.join(labels, "key").select(col("i"), col("j"), col("comp"))
+    // unpersist it when consumed — asserted by RasterSpec's hygiene test).
+    // Labels with no cross-block equivalence keep their block-local lbl.
+    val joined = labeled
+      .join(labels.withColumnRenamed("key", "lbl").withColumnRenamed("comp", "gcomp"),
+        Seq("lbl"), "left")
+      .select(col("i"), col("j"), coalesce(col("gcomp"), col("lbl")).as("comp"))
     val out = spark.createDataFrame(joined.rdd, joined.schema).cache()
     out.count()
-    ids.unpersist(false)
+    labeled.unpersist(false)
     edges.unpersist(false)
     labels.unpersist(false)
     out
+  }
+
+  /** Union-find over one block's occupied cells (4-adjacency, intra-block
+    * edges only): emits (i, j, key, lbl = min key of the block-local
+    * component). Neighbor lookup is by linear key; the +1 steps guard both
+    * the grid edge (key aliasing at j = gridN-1) and the block edge. */
+  private def labelBlock(rows: scala.collection.mutable.ArrayBuffer[(Long, Long, Long)],
+                         blockBits: Int, gridN: Long): Iterator[(Long, Long, Long, Long)] = {
+    val n = rows.length
+    val idx = new java.util.HashMap[java.lang.Long, Integer](n * 2)
+    var x = 0
+    while (x < n) { idx.put(rows(x)._3, x); x += 1 }
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Int, b: Int): Unit = {
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    x = 0
+    while (x < n) {
+      val (i, j, key) = rows(x)
+      if (i + 1 < gridN && ((i + 1) >> blockBits) == (i >> blockBits)) {
+        val nb = idx.get(key + gridN)
+        if (nb != null) union(x, nb)
+      }
+      if (j + 1 < gridN && ((j + 1) >> blockBits) == (j >> blockBits)) {
+        val nb = idx.get(key + 1)
+        if (nb != null) union(x, nb)
+      }
+      x += 1
+    }
+    val minKey = Array.fill(n)(Long.MaxValue)
+    x = 0
+    while (x < n) {
+      val r = find(x)
+      if (rows(x)._3 < minKey(r)) minKey(r) = rows(x)._3
+      x += 1
+    }
+    rows.iterator.zipWithIndex.map { case ((i, j, key), y) => (i, j, key, minKey(find(y))) }
   }
 }

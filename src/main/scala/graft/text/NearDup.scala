@@ -59,7 +59,14 @@ object NearDup {
   def jaccardPairs(spark: SparkSession, dir: String,
                    thresholdPct: Int = 50, maxDf: Int = 1000,
                    maxDocId: Long = 1000L): DataFrame = {
-    val ts = slotCache(tokenSets(docs(spark, dir, maxDocId), maxDf))
+    // explicit-count repartition on the join key: the pair join EXPLODES
+    // (Σdf² candidates from KB-sized token sets), and AQE — seeing only the
+    // tiny pre-join bytes — coalesced the exchange to ONE partition, making
+    // the explosion single-threaded (measured 14.6 s serial at sf0.1). A
+    // REPARTITION_BY_NUM exchange is exempt from AQE coalescing, and the
+    // cached partitioning is reused by the self-join (no extra exchange).
+    val ts = slotCache(tokenSets(docs(spark, dir, maxDocId), maxDf)
+      .repartition(spark.sparkContext.defaultParallelism, col("token")))
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = ts.as("a").join(ts.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
@@ -94,7 +101,10 @@ object NearDup {
       .distinct()
     val hot = ts0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("gram")
-    val ts = slotCache(ts0.join(broadcast(hot), Seq("gram"), "left_anti"))
+    // explicit-count repartition on the join key — same AQE-coalescing
+    // rationale as jaccardPairs (the gram join explodes to Σdf² pairs)
+    val ts = slotCache(ts0.join(broadcast(hot), Seq("gram"), "left_anti")
+      .repartition(spark.sparkContext.defaultParallelism, col("gram")))
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = ts.as("a").join(ts.as("b"),
         col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -138,6 +148,10 @@ object NearDup {
     val banded = sigs.select(col("doc_id"),
         posexplode(bandBuckets(col("sig"), bands, rows)))
       .toDF("doc_id", "band", "bucket")
+      // explicit-count repartition on the join key — the band self-join
+      // explodes per bucket; AQE would coalesce the tiny input to one
+      // partition and serialize the explosion (see jaccardPairs)
+      .repartition(spark.sparkContext.defaultParallelism, col("band"), col("bucket"))
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -191,6 +205,8 @@ object NearDup {
           .bitwiseAND(lit((1L << width) - 1))
       }: _*)))
       .toDF("doc_id", "simhash", "band", "bucket")
+      // same AQE-coalescing guard as minhashLsh's band join
+      .repartition(spark.sparkContext.defaultParallelism, col("band"), col("bucket"))
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))

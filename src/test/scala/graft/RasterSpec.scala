@@ -120,6 +120,26 @@ class RasterSpec extends AnyFunSuite {
       "unpersisting the results must return the session to baseline")
   }
 
+  test("two-phase CC merges components across block borders (blockBits=2)") {
+    // 4x4 blocks: a horizontal bar through i=0..11 at j=5 spans THREE
+    // blocks; a vertical bar at i=9 joins it across a j-block border; an
+    // isolated cell in a far block stays alone. Forces the contracted
+    // label-graph propagation (phase 2), which the default 1024-cell
+    // blocks almost never exercise at test sizes.
+    val bar = (0L until 12L).map(i => (i, 5L))
+    val vbar = (6L to 9L).map(j => (9L, j))
+    val cells = (bar ++ vbar ++ Seq((14L, 14L))).toDF("i", "j")
+    val got = Raster.connectedComponents(spark, cells, gridN = 16L, blockBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val comp = 0L * 16 + 5 // min key of the merged component
+    (bar ++ vbar).foreach { case (i, j) => assert(got((i, j)) == comp, s"($i,$j)") }
+    assert(got((14L, 14L)) == 14L * 16 + 14)
+    // and the default blockBits yields the identical labeling
+    val gotDefault = Raster.connectedComponents(spark, cells, gridN = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotDefault == got)
+  }
+
   test("connected components: a 40-cell snake converges within its diameter") {
     // a connected path of 40 cells — worst-case diameter for propagation:
     // alternate right/down moves
