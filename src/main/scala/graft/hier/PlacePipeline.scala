@@ -103,10 +103,18 @@ object PlacePipeline {
       .join(metaDf, "bkey")
       .cache()
 
-    // ── outer names: every bare node in the extract (hierarchy.ml:151-156) ──
-    val outerNodes = withMeta.filter(col("cls") === "outer")
-      .select(col("bkey"), col("id").as("nd")).distinct()
-      .cache() // probed by crossing, junctions, closure
+    // ── outer names: every bare node in the extract (hierarchy.ml:151-156).
+    // A bounded dimension (border nodes), consumed ONLY as two broadcast
+    // aggregates — collect_set dedups, so the former distinct+cache stage
+    // is folded into them ──
+    val outerRows = withMeta.filter(col("cls") === "outer")
+      .select(col("bkey"), col("id").as("nd"))
+    // bkey → its outer-node set (the crossing probe)
+    val outerSets = outerRows.groupBy(col("bkey"))
+      .agg(collect_set(col("nd")).as("outer_nds"))
+    // nd → boundaries naming it outer (junction qualify + closure)
+    val outerByNode = outerRows.groupBy(col("nd"))
+      .agg(collect_set(col("bkey")).as("outer_bkeys"))
 
     // ── buildings: deepest-first claim = post-order rank 1 (J3) ──
     // display name/street are per-row functions — computed BEFORE the claim
@@ -139,13 +147,10 @@ object PlacePipeline {
     val wayCandidates = streetCandidates.filter(col("kind") === "way")
 
     // crossing(way, boundary): some member node is one of this boundary's
-    // outer-name nodes (hierarchy.ml:214-218); outer nodes are a bounded
-    // dimension (border nodes) → ONE broadcast join of the per-boundary
-    // outer-node SET + arrays_overlap on the way's member array. The
-    // explode → semi-join → distinct → join-back chain this replaces cost
-    // two extra exchanges and a full scan of the exploded members
-    val outerSets = outerNodes.groupBy(col("bkey"))
-      .agg(collect_set(col("nd")).as("outer_nds"))
+    // outer-name nodes (hierarchy.ml:214-218) → ONE broadcast join of the
+    // per-boundary outer-node SET + arrays_overlap on the way's member
+    // array. The explode → semi-join → distinct → join-back chain this
+    // replaces cost two extra exchanges and a scan of the exploded members
     // inclusion: AND of `crossing` over all earlier post-order appearances
     val wPrev = Window.partitionBy(col("elem_key")).orderBy(col("post_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -177,22 +182,23 @@ object PlacePipeline {
     // struct per member — the ~60-char chain dominated the exchange bytes).
     val wayNodes = waysIncluded
       .select(col("bkey"), col("street"), explode(col("nds")).as("nd"))
+    // is_outer ⟺ outer_bkeys(nd) contains bkey — the SAME broadcast
+    // outerByNode join the closure needs, so qualify + closure share one
+    // probe (the round-5 shape joined a second (bkey, nd) broadcast)
     val qualified = wayNodes
       .groupBy(col("bkey"), col("nd"))
       .agg(collect_set(col("street")).as("ss"))
-      .join(broadcast(outerNodes.withColumn("is_outer", lit(true))), Seq("bkey", "nd"), "left")
-      .filter(size(col("ss")) > 1 || col("is_outer"))
+      .join(broadcast(outerByNode), Seq("nd"), "left")
+      .filter(size(col("ss")) > 1 ||
+        array_contains(col("outer_bkeys"), col("bkey")))
     // closure = first self-or-ancestor boundary whose outer-name set misses
     // the node (builder.ml:216-226's per-boundary close) — computed PER ATOM
     // at build time with a codegen'd higher-order filter (no UDF), so both
     // the hyperedge grouping and the assembly's edge keys read it directly
     // (re-deriving it later via a display-chain join would double-count
     // atoms whose name chains repeat)
-    val outerByNode = outerNodes.groupBy(col("nd"))
-      .agg(collect_set(col("bkey")).as("outer_bkeys"))
     val junctionAtoms = qualified
       .join(broadcast(metaDf.select(col("bkey"), col("path"), col("chain"))), Seq("bkey"))
-      .join(broadcast(outerByNode), Seq("nd"), "left")
       .withColumn("closure",
         coalesce(
           try_element_at(filter(col("path"),

@@ -108,11 +108,17 @@ object DistributedKnn {
       .withColumn("cell", cell_of(col("tlat"), col("tlon"), level))
       .cache()
 
-    val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("tid").asc)
+    val wBest = Window.partitionBy(col("id"))
+      .orderBy(col("d").asc_nulls_last, col("tid").asc_nulls_last)
     val wId = Window.partitionBy(col("id"))
     var unresolved = lazyMaterialize(spark, points.select("id", "lat", "lon"))
     var unresolvedCount = unresolved.count()
-    var best: DataFrame = null // (id, lat, lon, tid, d) — ≤ k rows per id
+    // each round's cached top-k frame; finalized rows are sliced out of
+    // these at the end (ONE union), so no per-round best-carry or anti
+    // joins exist — every round is exactly one window exchange + one job
+    val roundFrames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val finalizedParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var prevKept: DataFrame = null // unfinalized points' pools (≤ k rows per id)
     var lo = 0
     while (lo <= maxRing && unresolvedCount > 0) {
       // batch [lo, hi): rings 0 and 1 share the FIRST batch — the hi = 1
@@ -126,8 +132,15 @@ object DistributedKnn {
         .join(targetsByCell, "cell")
         .withColumn("d", haversine_m(col("lat"), col("lon"), col("tlat"), col("tlon")))
         .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
-      val pool0 = if (best == null) cands
-        else best.join(unresolved.select("id"), Seq("id"), "left_semi").unionByName(cands)
+      // one SENTINEL row (null tid/d) per unresolved point keeps
+      // candidate-less points inside the window output, so the next
+      // round's unresolved set falls out of the same pass (the round-5
+      // shape re-derived it with an anti join per round); sentinels sort
+      // last (nulls_last) and are dropped from every kept slice
+      val sentinel = unresolved.select(col("id"), col("lat"), col("lon"),
+        lit(null).cast("long").as("tid"), lit(null).cast("double").as("d"))
+      val pool0 = (if (prevKept == null) cands else prevKept.unionByName(cands))
+        .unionByName(sentinel)
       // longitude wrap can place ONE target cell at two Chebyshev ring
       // distances r and 2^level - r; ringBatch dedups within a batch, but
       // across batches the same (id, tid) row would enter the pool twice —
@@ -138,53 +151,51 @@ object DistributedKnn {
       val pool =
         if ((1L << level) <= 2L * maxRing) pool0.dropDuplicates("id", "tid")
         else pool0
-      // per-point running top-k; kth = the worst retained distance and
-      // cnt = retained pool size drive the finalization rule below.
-      // Cached but NOT counted here: the one combined action below
-      // materializes it through its consumers, so each round costs ONE
-      // Spark job instead of the round-5 four (pool count, best count,
-      // unresolved count, isEmpty probe).
+      // per-point running top-k; kth = the worst retained distance, cnt =
+      // retained REAL pool size (count(tid) skips sentinels). `fin` marks
+      // finalized points: rings 0..hi-1 are scanned, so the first
+      // unscanned ring is hi and any target there is ≥ (hi-1) × minExtent
+      // away (the point may sit on its own cell's edge); finalize once the
+      // pool is full (cnt = k) AND its worst member beats that bound;
+      // after the last batch finalize everything.
       val roundBest = pool
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") <= k).drop("rn")
-        .withColumn("cnt", count(lit(1)).over(wId))
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") <= k)
+        .withColumn("cnt", count(col("tid")).over(wId))
         .withColumn("kth", max(col("d")).over(wId))
+        .withColumn("fin",
+          if (hi > maxRing) lit(true)
+          else col("cnt") === k &&
+            col("kth") <= lit(hi - 1) * min_cell_extent_m(col("lat"), level))
         .cache()
-      // rings 0..hi-1 are scanned, so the first unscanned ring is hi and
-      // any target there is ≥ (hi-1) × minExtent away (the point may sit on
-      // its own cell's edge); finalize once the pool is full (cnt = k) AND
-      // its worst member beats that bound; after the last batch finalize
-      // everything with a candidate
-      val finalized =
-        if (hi > maxRing) roundBest
-        else roundBest.filter(col("cnt") === k &&
-          col("kth") <= lit(hi - 1) * min_cell_extent_m(col("lat"), level))
-      // `best`/`unresolved` are plan-truncated per round: they accumulate a
-      // union per round, and sparse worlds (many empty rings) would
-      // otherwise blow up analysis time
-      val roundKept = roundBest.drop("cnt", "kth")
-      val newBest = lazyMaterialize(spark, if (best == null) roundKept
-        else best.join(unresolved.select("id"), Seq("id"), "left_anti")
-          .unionByName(roundKept))
+      finalizedParts += roundBest
+        .filter(col("fin") && col("tid").isNotNull)
+        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
+      prevKept = roundBest
+        .filter(!col("fin") && col("tid").isNotNull)
+        .select(col("id"), col("lat"), col("lon"), col("tid"), col("d"))
+      // the rn = 1 row exists for EVERY unresolved point (sentinel floor),
+      // so next round's unresolved set needs no join at all
       val newUnresolved = lazyMaterialize(spark,
-        unresolved.join(finalized.select("id"), Seq("id"), "left_anti"))
-      // ONE action materializes roundBest (shared via its cache), newBest
-      // and newUnresolved, and returns the unresolved count that drives the
-      // loop — no separate isEmpty job
-      val counts = newBest.groupBy().count()
-        .unionAll(newUnresolved.groupBy().count()).collect()
-      unresolvedCount = counts(1).getLong(0)
-      // the previous round's state and this round's scratch are dead now —
-      // free them (round-2 leak: these accumulated for the session lifetime)
-      if (best != null) best.unpersist(false)
+        roundBest.filter(!col("fin") && col("rn") === 1)
+          .select(col("id"), col("lat"), col("lon")))
+      // ONE action per round: materializes roundBest (via its cache) and
+      // newUnresolved, and returns the count that drives the loop
+      unresolvedCount = newUnresolved.groupBy().count().collect()(0).getLong(0)
       unresolved.unpersist(false)
-      roundBest.unpersist(false)
-      best = newBest
+      roundFrames += roundBest
       unresolved = newUnresolved
       lo = hi
     }
     targetsByCell.unpersist(false)
     unresolved.unpersist(false)
-    Option(best)
+    if (finalizedParts.isEmpty) None
+    else {
+      // one union of the per-round finalized slices → the caller's cached
+      // pool; the per-round caches die here (they kept the slices cheap)
+      val best = materialize(spark, finalizedParts.reduce(_ unionByName _))
+      roundFrames.foreach(_.unpersist(false))
+      Some(best)
+    }
   }
 
   /** [[materialize]] without the eager count — the caller's next action

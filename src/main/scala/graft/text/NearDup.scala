@@ -44,8 +44,13 @@ object NearDup {
   /** (doc_id, token) distinct — token sets, with document-frequency cap on
     * tokens so a stopword shared by every doc can't create O(n²) pairs. */
   private def tokenSets(d: DataFrame, maxDf: Int): DataFrame = {
+    // explicit-count repartition on the distinct keys: the dedup exchange
+    // is reused by distinct() (same hash keys) and stays parallel where
+    // AQE would coalesce the tiny bytes to one task (see jaccardPairs)
     val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
+      .repartition(d.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"), col("token"))
       .distinct()
     val hot = toks.groupBy("token").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("token")
@@ -98,6 +103,8 @@ object NearDup {
           when(length(col("text")) >= n, sequence(lit(1), length(col("text")) - (n - 1)))
             .otherwise(array().cast("array<int>")),
           i => col("text").substr(i, lit(n)))).as("gram"))
+      // pinned dedup exchange — same rationale as tokenSets
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"), col("gram"))
       .distinct()
     val hot = ts0.groupBy("gram").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("gram")
@@ -138,12 +145,22 @@ object NearDup {
   }
 
   /** MinHash+LSH near-dup candidates, exact-Jaccard verified.
-    * bands × rowsPerBand = numHashes; candidate ⇔ some band identical. */
+    * bands × rowsPerBand = numHashes; candidate ⇔ some band identical.
+    * The distinct token stream is computed ONCE (slot-cached) and feeds
+    * both the signature aggregation and the exact verify joins — the
+    * round-5 shape re-tokenized the corpus for each. */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16,
                  bands: Int = 4, thresholdPct: Int = 50,
                  maxDocId: Long = 1000L): DataFrame = {
     val d = docs(spark, dir, maxDocId)
-    val sigs = minhashSignatures(d, numHashes)
+    val ts = slotCache(d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"), col("token"))
+      .distinct())
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i"))
+    val sigs = ts.groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
     val rows = numHashes / bands
     val banded = sigs.select(col("doc_id"),
         posexplode(bandBuckets(col("sig"), bands, rows)))
@@ -157,9 +174,7 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only
-    val ts = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "").distinct()
+    // exact verification of candidates only, over the SAME cached stream
     val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     cands
       .join(ts.toDF("doc_a", "token"), "doc_a")

@@ -58,7 +58,11 @@ object Flagship {
   /** Full run with lineage manifests + resume into `outDir`. */
   def runResumable(spark: SparkSession, cfg: SynthWorld.Config, outDir: String,
                    snapshotId: String): Lineage.RunResult =
-    Lineage.run(spark, geocode(spark, cfg), outDir, snapshotId)
+    // splitsPerBucket = 0 (auto): cell_parent buckets are SPATIALLY skewed
+    // (one coarse cell can hold a whole region), so the write salt derives
+    // from the pending-bucket count instead of serializing per bucket
+    Lineage.run(spark, geocode(spark, cfg), outDir, snapshotId,
+      splitsPerBucket = 0)
 
   /** End-to-end ingest, the reference's fetch→build→write lifecycle
     * (SURVEY.md §3.1) over the Common-Crawl container format: WARC files →
@@ -73,6 +77,8 @@ object Flagship {
       .withColumn("text", extract(col("html")))
       .withColumn("lang", lit("und")) // WARC carries no language field
       .drop("html") // geocode reads text only; don't haul payload bytes along
-    Lineage.run(spark, geocodePages(spark, pages, cfg), outDir, snapshotId)
+    // auto write salt — same spatial-skew rationale as runResumable
+    Lineage.run(spark, geocodePages(spark, pages, cfg), outDir, snapshotId,
+      splitsPerBucket = 0)
   }
 }

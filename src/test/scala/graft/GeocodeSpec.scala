@@ -339,6 +339,34 @@ class GeocodeSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("splitsPerBucket = 0 derives the write salt from the pending-bucket count") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft-autosplit").toString
+    val df = Flagship.geocode(spark, cfg).repartition(16).cache()
+    val nBuckets = df.select("bucket").distinct().count().toInt
+    val cores = spark.sparkContext.defaultParallelism
+    val expectSplits = math.max(1, (cores + nBuckets - 1) / nBuckets)
+    assume(expectSplits > 1, "spatial world must concentrate into few buckets")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try Lineage.run(spark, df, outDir, "snap-1", splitsPerBucket = 0)
+    finally spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    def filesOf(b: Long): Long = {
+      val d = java.nio.file.Paths.get(outDir, "data", s"bucket=$b")
+      java.nio.file.Files.list(d).toArray.count(_.toString.endsWith(".parquet"))
+    }
+    val buckets = Lineage.completed(outDir).keys.toSeq.sorted
+    assert(buckets.forall(filesOf(_) <= expectSplits),
+      s"file count per bucket must stay <= auto splits ($expectSplits)")
+    assert(buckets.exists(filesOf(_) > 1),
+      "the hot bucket must spread over more than one write task")
+    assert(Lineage.audit(spark, outDir).isEmpty)
+    // incoherent combination fails loudly instead of silently dropping the salt
+    intercept[IllegalArgumentException] {
+      Lineage.run(spark, df, outDir, "snap-x",
+        repartitionByBucket = false, splitsPerBucket = 2)
+    }
+    df.unpersist()
+  }
+
   test("lineage manifests make the job resumable without recompute") {
     val outDir = java.nio.file.Files.createTempDirectory("graft-lineage").toString
     val df = Flagship.geocode(spark, cfg).cache()
