@@ -34,8 +34,12 @@ object BenchExtra {
       val cached2 = e1.union(e2)
         .repartition(spark.sparkContext.defaultParallelism * 2).cache()
       cached2.count()
-      time("hierarchy_build_2shard") {
-        PlacePipeline.stats(PlacePipeline.build(spark, cached2, metas2)).nNodes
+      for (i <- 1 to 3) {
+        spark.catalog.clearCache()
+        cached2.cache().count()
+        time(s"hierarchy_build_2shard run$i") {
+          PlacePipeline.stats(PlacePipeline.build(spark, cached2, metas2)).nNodes
+        }
       }
       cached2.unpersist()
       spark.catalog.clearCache()

@@ -22,17 +22,22 @@ object QueryProfile {
     spark.sparkContext.addSparkListener(timer)
     for (n <- names) {
       val fn = SparkEntry.queries(n)
-      def run(): Double = {
+      def run(): (Double, Double, Double) = {
         val t0 = System.nanoTime()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val df = fn(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force analysis+optimization+planning
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }
       run()
       Thread.sleep(200) // drain listener bus
       timer.reset()
-      val t = run()
+      val (tBuild, tPlan, tExec) = run()
       Thread.sleep(500)
-      println(f"[qprof] $n: ${t}%.2f s")
+      println(f"[qprof] $n: build $tBuild%.2f + plan $tPlan%.2f + exec $tExec%.2f s")
       timer.dump(n)
     }
     spark.stop()
