@@ -101,6 +101,37 @@ object BenchExtra {
       println(s"[extra] ivf: ${rs.map { case (k, v) => s"$k=$v" }.mkString(", ")}")
     }
 
+    if (sections("dedupstress")) {
+      // the q25/q26 stress 10x legs in isolation, 3 rounds each — variance probe
+      val tmp = sys.props("java.io.tmpdir")
+      def docsDir(n: Long): String = {
+        val d = s"$tmp/graft-stress-docs-$n"
+        if (!new java.io.File(s"$d/documents.parquet/_SUCCESS").exists())
+          StressBench.writeDocs(spark, n, d)
+        d
+      }
+      docsDir(200000L)
+      val timer = new graft.tools.HierProfile.JobTimer
+      spark.sparkContext.addSparkListener(timer)
+      for (i <- 1 to 3) {
+        timer.reset()
+        time(s"q25_jaccard_10x round$i") {
+          graft.text.NearDup.jaccardPairs(spark, docsDir(200000L),
+            thresholdPct = 80, maxDf = 1000, maxDocId = Long.MaxValue)
+            .write.format("noop").mode("overwrite").save()
+        }
+        Thread.sleep(300)
+        timer.dump(s"q25 round$i")
+        spark.catalog.clearCache()
+        time(s"q26_minhash_10x round$i") {
+          graft.text.NearDup.minhashLsh(spark, docsDir(200000L),
+            numHashes = 16, bands = 4, thresholdPct = 80, maxDocId = Long.MaxValue)
+            .write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
     if (sections("ivfprof")) {
       val timer = new graft.tools.HierProfile.JobTimer
       spark.sparkContext.addSparkListener(timer)

@@ -460,13 +460,23 @@ object Reactions {
       // (capped at maxOccurrencesPerRule — the same canonical-prefix pool
       // the round-4 per-step collect drew from, so traces are bit-identical
       // on any seed); the active class is the first with any occurrence.
-      // Driver traffic per step: one scalar per rule + the single chosen
-      // occurrence row, instead of O(occurrences) rows.
+      // Counting is ONE grouped job per probed class (rule-tagged union +
+      // groupBy(rule).count) — the round-5 shape ran one count JOB per
+      // rule per class per step. Driver traffic per step: one scalar per
+      // live rule + the single chosen occurrence row.
       val counted = priorities.iterator.map { cls =>
-        cls.map { case (name, matcher) =>
-          val m = matcher(sNow)
-          (name, m, math.min(m.count(), maxOccurrencesPerRule.toLong))
-        }.filter(_._3 > 0)
+        val ms = cls.map { case (_, matcher) => matcher(sNow) }
+        val countsByRule =
+          if (ms.isEmpty) Map.empty[Int, Long]
+          else ms.iterator.zipWithIndex
+            .map { case (m, ri) => m.select(lit(ri).as("rule")) }
+            .reduce(_ unionByName _)
+            .groupBy(col("rule")).agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        cls.iterator.zipWithIndex.flatMap { case ((name, _), ri) =>
+          countsByRule.get(ri).filter(_ > 0)
+            .map(c => (name, ms(ri), math.min(c, maxOccurrencesPerRule.toLong)))
+        }.toList
       }.find(_.nonEmpty).getOrElse(Nil)
       // the counts above materialized s → anything superseded before it is dead
       pending.foreach(_.unpersist(false))
@@ -594,27 +604,41 @@ object Reactions {
     val trace = scala.collection.mutable.ArrayBuffer.empty[String]
     var more = true
     var pending: List[DataFrame] = Nil
+    val names = priorities.map(_.map(_._1))
     while (more && n < maxSteps) {
       val sNow = s
-      // probe classes top-down, rules in class order, one row each; stop at
-      // the first rule with an occurrence — lower classes are never probed
-      // past a live higher class, let alone fired
-      val fired = priorities.iterator.flatMap(_.iterator)
-        .map { case (name, matcher) =>
-          (name, matcher(sNow).orderBy(col("agent"), col("target")).limit(1).collect())
+      // ONE probe job per step: every rule's matcher, tagged with its
+      // (class, rule) indices, in one union; the (cls, rule, agent,
+      // target) sort picks exactly the row the round-5 per-rule probe
+      // loop found — classIdx leads, so class preemption is preserved (a
+      // low-class rule never fires while any higher-class rule matches),
+      // then rule order in class, then the canonical §7.5 occurrence.
+      // The round-5 loop ran one limit(1) JOB per probed rule per step —
+      // R × N driver-synchronized jobs over a fixpoint run.
+      val taggedParts = priorities.iterator.zipWithIndex.flatMap { case (cls, ci) =>
+        cls.iterator.zipWithIndex.map { case ((_, matcher), ri) =>
+          matcher(sNow).select(col("agent"), col("target"))
+            .withColumn("cls", lit(ci)).withColumn("rule", lit(ri))
         }
-        .find(_._2.nonEmpty)
-      // the probes above materialized s → frames superseded before it are dead
+      }.toList
+      val rows =
+        if (taggedParts.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else taggedParts.reduce(_ unionByName _)
+          .orderBy(col("cls"), col("rule"), col("agent"), col("target"))
+          .limit(1).collect()
+      // the probe above materialized s → frames superseded before it are dead
       pending.foreach(_.unpersist(false))
       pending = Nil
-      fired match {
+      (if (rows.isEmpty) None
+       else Some((names(rows(0).getInt(2))(rows(0).getInt(3)), rows))) match {
         case Some((name, rows)) =>
           val nextState = reparent(sNow, rows(0).getLong(0), rows(0).getLong(1))
-          // collapse every 4 applications, not fix's 16: rewrite PROBES
-          // up to every rule per step, and optimizer constraint derivation
-          // on a deep when-chain SELF-JOIN (leave/enter match both sides
-          // of places⋈places) grows super-linearly in chain depth — at
-          // Dover scale a 16-deep chain exhausted an 8 GB driver
+          // collapse every CollapseEvery (a shared 4, same as fix):
+          // rewrite PROBES up to every rule per step, and optimizer
+          // constraint derivation on a deep when-chain SELF-JOIN
+          // (leave/enter match both sides of places⋈places) grows
+          // super-linearly in chain depth — at Dover scale a 16-deep
+          // chain exhausted an 8 GB driver
           val (newState, superseded) =
             if ((n + 1) % CollapseEvery == 0)
               (nextState.copy(places = truncateLineage(nextState.places)),

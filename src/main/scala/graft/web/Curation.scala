@@ -14,11 +14,13 @@ import graft.text.TextOps
   * dedup's collapse is auditable rather than silent.
   *
   * Plan shape at 100 TB: one narrow scoring pass (the quality reason and
-  * both token counts are codegen column expressions), then ONE shuffle —
-  * the dedup window on md5(text) computes the canonical winner
-  * (min (url, warc_ts)) and the copy count in the same exchange — then
-  * the partitioned lineage write. Nothing text-sized rides a second
-  * shuffle and no aggregation materializes the corpus.
+  * both token counts are codegen column expressions), then the dedup
+  * window shuffle on md5(text) — the canonical winner (min (url,
+  * warc_ts)) and the copy count share that one exchange — then the
+  * lineage write's repartition-by-bucket exchange. Text rides exactly
+  * those two shuffles (the dedup decision and the final placement — the
+  * §8 minimum for a pipeline that must both dedup and lay out by
+  * bucket); no aggregation materializes the corpus.
   */
 object Curation {
 

@@ -206,6 +206,31 @@ class BrsSpec extends AnyFunSuite {
     assert(end2.whereIs("a").map(_._2) == Some("Boundary"))
   }
 
+  test("rewrite's one-probe union: never-matching rules change nothing") {
+    // the tagged-union probe must pick the same occurrence and map rule
+    // indices back to the right names when empty matchers pad the classes
+    val base = Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+      "leave_building" -> (s => Reactions.leaveMatches(s, "Building")),
+      "leave_street" -> (s => Reactions.leaveMatches(s, "Street")))
+    val padded =
+      Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+        "never_a" -> (s => Reactions.leaveMatches(s, "NoSuchCtrl"))) ++ base ++
+        Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+          "never_b" -> (s => Reactions.enterMatches(s, "NoSuchCtrl")))
+    val (endB, nB, traceB) = Reactions.rewrite(world(), base)
+    val (endP, nP, traceP) = Reactions.rewrite(world(), padded)
+    assert(nB == 2 && traceB == Seq("leave_building", "leave_street"))
+    assert(nP == nB && traceP == traceB)
+    assert(endB.whereIs("a") == endP.whereIs("a"))
+    // sim's grouped per-class count: padded classes leave the seeded trace
+    // bit-identical (zero-count rules never enter the weighted pick)
+    val (_, n1, t1) = Reactions.sim(world(), rules, steps = 6, seed = 99L)
+    val paddedRules = Seq[(String, BigraphState => org.apache.spark.sql.DataFrame)](
+      "never_a" -> (s => Reactions.leaveMatches(s, "NoSuchCtrl"))) ++ rules
+    val (_, n2, t2) = Reactions.sim(world(), paddedRules, steps = 6, seed = 99L)
+    assert(n1 == 6 && n2 == 6 && t1 == t2)
+  }
+
   test("PRISM reward exports: state rewards from predicates, transition rewards from rules") {
     val tg = Reactions.bfs(world(), rules)
     val srew = tg.toStateRewards(Seq(
