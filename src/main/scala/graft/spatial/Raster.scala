@@ -100,8 +100,11 @@ object Raster {
     // SORTED by block within the partition, so one block is in memory at a
     // time (bounded by 4^blockBits occupied cells; 2^20 at the default).
     val labeled = ids
-      .repartition(shiftrightunsigned(col("i"), B), shiftrightunsigned(col("j"), B))
-      .sortWithinPartitions(shiftrightunsigned(col("i"), B), shiftrightunsigned(col("j"), B))
+      // ARITHMETIC shift — must group exactly like the task-side `>> B`
+      // (shiftrightunsigned would split a negative-coordinate block across
+      // partitions and silently lose its intra-block edges)
+      .repartition(shiftright(col("i"), B), shiftright(col("j"), B))
+      .sortWithinPartitions(shiftright(col("i"), B), shiftright(col("j"), B))
       .as[(Long, Long, Long)]
       .mapPartitions { it =>
         new Iterator[Iterator[(Long, Long, Long, Long)]] {
