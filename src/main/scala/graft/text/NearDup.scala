@@ -146,24 +146,32 @@ object NearDup {
 
   /** MinHash+LSH near-dup candidates, exact-Jaccard verified.
     * bands × rowsPerBand = numHashes; candidate ⇔ some band identical.
-    * The distinct token stream is computed ONCE (slot-cached) and feeds
-    * both the signature aggregation and the exact verify joins — the
-    * round-5 shape re-tokenized the corpus for each. */
+    *
+    * Signatures are PER-ROW array expressions (array_min over transform —
+    * the identical formula [[graft.streaming.Streams.nearDupAgainstCorpus]]
+    * computes statelessly; min over a distinct token ARRAY equals the
+    * round-5 min over the exploded distinct token STREAM), and the exact
+    * verify is an array_intersect over the same cached per-doc arrays —
+    * together that drops the tokenize-explode-distinct exchange, the
+    * 16-agg signature exchange, and the two explode-join-agg verify
+    * exchanges of the round-5 shape. Only the band self-join and the
+    * candidate joins shuffle. */
   def minhashLsh(spark: SparkSession, dir: String, numHashes: Int = 16,
                  bands: Int = 4, thresholdPct: Int = 50,
                  maxDocId: Long = 1000L): DataFrame = {
     val d = docs(spark, dir, maxDocId)
-    val ts = slotCache(d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"), col("token"))
-      .distinct())
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("token"))).as(s"h$i"))
-    val sigs = ts.groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val toks = array_distinct(filter(split(col("text"), " "), t => t =!= ""))
+    // slot-cached: consumed by the banding pass and twice by the verify join
+    val docsArr = slotCache(d.select(col("doc_id"), toks.as("toks")))
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(col("toks"), t => xxhash64(lit(i), t)))): _*)
     val rows = numHashes / bands
-    val banded = sigs.select(col("doc_id"),
-        posexplode(bandBuckets(col("sig"), bands, rows)))
+    val banded = docsArr
+      // token-less docs had no rows in the round-5 exploded stream and so
+      // never banded; without this filter their all-null signatures would
+      // collide with each other and fabricate (0,0,0) pairs
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), posexplode(bandBuckets(sig, bands, rows)))
       .toDF("doc_id", "band", "bucket")
       // explicit-count repartition on the join key — the band self-join
       // explodes per bucket; AQE would coalesce the tiny input to one
@@ -174,16 +182,21 @@ object NearDup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact verification of candidates only, over the SAME cached stream
-    val sizes = ts.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    // exact verification of candidates only: |A ∩ B| via array_intersect
+    // over the cached distinct-token arrays (token arrays ride the two
+    // candidate joins; candidates are the sparse LSH survivors). The
+    // explicit-count repartition keeps the per-pair intersect work wide —
+    // AQE coalesced the small candidate bytes to ~3 tasks and serialized
+    // the verify
     cands
-      .join(ts.toDF("doc_a", "token"), "doc_a")
-      .join(ts.toDF("doc_b", "token"), Seq("doc_b", "token"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "size_b"), "doc_b")
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_a"))
+      .join(docsArr.select(col("doc_id").as("doc_a"), col("toks").as("a_toks")), "doc_a")
+      .join(docsArr.select(col("doc_id").as("doc_b"), col("toks").as("b_toks")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("a_toks"), col("b_toks"))).cast("long").as("inter"),
+        size(col("a_toks")).cast("long").as("size_a"),
+        size(col("b_toks")).cast("long").as("size_b"))
       .filter(col("inter") * 100 >= (col("size_a") + col("size_b") - col("inter")) * thresholdPct)
-      .select("doc_a", "doc_b", "inter", "size_a", "size_b")
   }
 
   /** 64-bit SimHash over token xxhash64s: sign of the per-bit vote sum. */
